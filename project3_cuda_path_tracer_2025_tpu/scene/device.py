@@ -1,0 +1,274 @@
+"""Device scene: SoA jnp arrays + hashable static metadata.
+
+The reference uploads its host vectors verbatim (AoS) in ``pathtraceInit``
+(``src/pathtrace.cu:134-207``).  Here the upload step *restructures* for TPU:
+
+* every vector quantity becomes a ``Vec3`` of flat ``[N]`` arrays,
+* triangles are reordered into BVH-leaf order so each leaf's triangles are a
+  contiguous run (kills one gather indirection during traversal),
+* per-triangle normal fallback (reference checks per intersection,
+  ``src/intersections.cu:202-207``) is resolved once at build time,
+* textures become a single padded float32 stack with flat per-channel arrays
+  for gather sampling,
+* analytic primitives (handful per scene) are baked as *static* Python
+  constants so their transforms constant-fold into the intersection kernels
+  (no gathers, no memory traffic).
+
+``DeviceScene`` is a pytree (jit-traceable); ``SceneStatic`` is frozen /
+hashable and is closed over (static) by the compiled render functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.vec import Vec3
+from .textures import build_texture_stack
+from .types import GeomType, HostScene
+
+
+class GeomConst(NamedTuple):
+    """One analytic primitive, fully static (nested float tuples hash)."""
+
+    gtype: int  # GeomType value
+    material_id: int
+    transform: Tuple[Tuple[float, ...], ...]
+    inverse: Tuple[Tuple[float, ...], ...]
+    inv_transpose: Tuple[Tuple[float, ...], ...]
+
+
+@dataclass(frozen=True)
+class SceneStatic:
+    geoms: Tuple[GeomConst, ...]
+    width: int
+    height: int
+    trace_depth: int
+    iterations: int
+    num_materials: int
+    num_triangles: int
+    num_nodes: int
+    leaf_size: int
+    num_textures: int
+    tex_wmax: int
+    tex_hmax: int
+    image_name: str
+
+    @property
+    def has_triangles(self) -> bool:
+        return self.num_triangles > 0
+
+    @property
+    def pixel_count(self) -> int:
+        return self.width * self.height
+
+
+class MaterialTable(NamedTuple):
+    color: Vec3  # [M]
+    emittance: jnp.ndarray
+    has_reflective: jnp.ndarray
+    has_refractive: jnp.ndarray
+    ior: jnp.ndarray
+    roughness: jnp.ndarray
+    metallic: jnp.ndarray
+    texture_id: jnp.ndarray  # i32, -1 = none
+    bump_id: jnp.ndarray  # i32, -1 = none
+    bump_scale: jnp.ndarray
+
+
+class TriangleTable(NamedTuple):
+    v0: Vec3
+    v1: Vec3
+    v2: Vec3
+    n0: Vec3
+    n1: Vec3
+    n2: Vec3
+    uv0u: jnp.ndarray
+    uv0v: jnp.ndarray
+    uv1u: jnp.ndarray
+    uv1v: jnp.ndarray
+    uv2u: jnp.ndarray
+    uv2v: jnp.ndarray
+    material_id: jnp.ndarray  # i32
+    dpdu: Vec3
+    dpdv: Vec3
+
+
+class BVHTable(NamedTuple):
+    aabb_min: Vec3  # [M]
+    aabb_max: Vec3
+    start: jnp.ndarray  # i32, -1 for internal nodes
+    count: jnp.ndarray  # i32, 0 for internal nodes
+    miss: jnp.ndarray  # i32 threaded skip link
+
+
+class TextureTable(NamedTuple):
+    r: jnp.ndarray  # flat [NT * Hmax * Wmax] f32
+    g: jnp.ndarray
+    b: jnp.ndarray
+    width: jnp.ndarray  # [NT] i32
+    height: jnp.ndarray  # [NT] i32
+
+
+class DeviceScene(NamedTuple):
+    materials: MaterialTable
+    triangles: TriangleTable
+    bvh: BVHTable
+    textures: TextureTable
+
+
+def _mat_tuple(m: np.ndarray) -> Tuple[Tuple[float, ...], ...]:
+    return tuple(tuple(float(x) for x in row) for row in np.asarray(m))
+
+
+def _vec3_from(arr: np.ndarray) -> Vec3:
+    a = jnp.asarray(np.ascontiguousarray(arr, np.float32))
+    return Vec3(a[..., 0], a[..., 1], a[..., 2])
+
+
+def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
+    geoms = tuple(
+        GeomConst(
+            gtype=int(g.type),
+            material_id=int(g.material_id),
+            transform=_mat_tuple(g.transform),
+            inverse=_mat_tuple(g.inverse_transform),
+            inv_transpose=_mat_tuple(g.inv_transpose),
+        )
+        for g in scene.geoms
+    )
+
+    # --- materials ------------------------------------------------------
+    ms = scene.materials
+    if not ms:
+        raise ValueError("scene has no materials")
+    color = np.stack([m.color for m in ms]).astype(np.float32)
+    materials = MaterialTable(
+        color=_vec3_from(color),
+        emittance=jnp.asarray([m.emittance for m in ms], jnp.float32),
+        has_reflective=jnp.asarray([m.has_reflective for m in ms], jnp.float32),
+        has_refractive=jnp.asarray([m.has_refractive for m in ms], jnp.float32),
+        ior=jnp.asarray([m.index_of_refraction for m in ms], jnp.float32),
+        roughness=jnp.asarray([m.roughness for m in ms], jnp.float32),
+        metallic=jnp.asarray([m.metallic for m in ms], jnp.float32),
+        texture_id=jnp.asarray(
+            [m.texture_id if m.has_texture else -1 for m in ms], jnp.int32
+        ),
+        bump_id=jnp.asarray(
+            [m.bump_id if m.has_bump_map else -1 for m in ms], jnp.int32
+        ),
+        bump_scale=jnp.asarray([m.bump_scale for m in ms], jnp.float32),
+    )
+
+    # --- triangles (BVH-leaf order) --------------------------------------
+    T = scene.num_triangles
+    if T > 0:
+        order = (
+            scene.bvh.tri_indices.astype(np.int64)
+            if scene.bvh is not None
+            else np.arange(T)
+        )
+        pos = scene.tri_positions[order]
+        nrm = scene.tri_normals[order].copy()
+        uv = scene.tri_uvs[order]
+        mat = scene.tri_material_ids[order]
+        dpdu = scene.tri_dpdu[order]
+        dpdv = scene.tri_dpdv[order]
+
+        # Resolve the reference's per-intersection flat-normal fallback
+        # (src/intersections.cu:202-207) once: if ANY vertex normal of a
+        # triangle is ~zero, all three become the geometric normal.
+        ln = np.linalg.norm(nrm, axis=-1)  # [T, 3]
+        degenerate = (ln < 1e-6).any(axis=-1)
+        if degenerate.any():
+            e1 = pos[:, 1] - pos[:, 0]
+            e2 = pos[:, 2] - pos[:, 0]
+            gn = np.cross(e1, e2)
+            gl = np.linalg.norm(gn, axis=-1, keepdims=True)
+            gn = gn / np.maximum(gl, 1e-30)
+            nrm[degenerate] = gn[degenerate][:, None, :]
+    else:
+        # One dummy degenerate triangle keeps all shapes non-empty; the
+        # static ``has_triangles`` flag skips mesh code entirely.
+        pos = np.zeros((1, 3, 3), np.float32)
+        nrm = np.zeros((1, 3, 3), np.float32)
+        nrm[:, :, 2] = 1.0
+        uv = np.zeros((1, 3, 2), np.float32)
+        mat = np.zeros((1,), np.int32)
+        dpdu = np.zeros((1, 3), np.float32)
+        dpdv = np.zeros((1, 3), np.float32)
+
+    triangles = TriangleTable(
+        v0=_vec3_from(pos[:, 0]),
+        v1=_vec3_from(pos[:, 1]),
+        v2=_vec3_from(pos[:, 2]),
+        n0=_vec3_from(nrm[:, 0]),
+        n1=_vec3_from(nrm[:, 1]),
+        n2=_vec3_from(nrm[:, 2]),
+        uv0u=jnp.asarray(uv[:, 0, 0]),
+        uv0v=jnp.asarray(uv[:, 0, 1]),
+        uv1u=jnp.asarray(uv[:, 1, 0]),
+        uv1v=jnp.asarray(uv[:, 1, 1]),
+        uv2u=jnp.asarray(uv[:, 2, 0]),
+        uv2v=jnp.asarray(uv[:, 2, 1]),
+        material_id=jnp.asarray(mat, jnp.int32),
+        dpdu=_vec3_from(dpdu),
+        dpdv=_vec3_from(dpdv),
+    )
+
+    # --- BVH --------------------------------------------------------------
+    if scene.bvh is not None and T > 0:
+        b = scene.bvh
+        # Leaf `start` indexes tri_indices; triangles were reordered by that
+        # permutation, so starts now index the triangle arrays directly.
+        bvh = BVHTable(
+            aabb_min=_vec3_from(b.aabb_min),
+            aabb_max=_vec3_from(b.aabb_max),
+            start=jnp.asarray(b.start, jnp.int32),
+            count=jnp.asarray(b.tri_count, jnp.int32),
+            miss=jnp.asarray(b.miss_link, jnp.int32),
+        )
+        num_nodes = b.num_nodes
+        leaf_size = b.leaf_size
+    else:
+        bvh = BVHTable(
+            aabb_min=Vec3.zeros((1,)),
+            aabb_max=Vec3.zeros((1,)),
+            start=jnp.zeros((1,), jnp.int32),
+            count=jnp.zeros((1,), jnp.int32),
+            miss=jnp.ones((1,), jnp.int32),
+        )
+        num_nodes = 0
+        leaf_size = 4
+
+    # --- textures ----------------------------------------------------------
+    stack, wh = build_texture_stack(scene.textures)
+    nt, hmax, wmax, _ = stack.shape
+    flat = stack.reshape(-1, 4)
+    textures = TextureTable(
+        r=jnp.asarray(flat[:, 0]),
+        g=jnp.asarray(flat[:, 1]),
+        b=jnp.asarray(flat[:, 2]),
+        width=jnp.asarray(wh[:, 0], jnp.int32),
+        height=jnp.asarray(wh[:, 1], jnp.int32),
+    )
+
+    static = SceneStatic(
+        geoms=geoms,
+        width=int(scene.state.camera.resolution[0]),
+        height=int(scene.state.camera.resolution[1]),
+        trace_depth=int(scene.state.trace_depth),
+        iterations=int(scene.state.iterations),
+        num_materials=len(ms),
+        num_triangles=T,
+        num_nodes=num_nodes,
+        leaf_size=leaf_size,
+        num_textures=len(scene.textures),
+        tex_wmax=wmax,
+        tex_hmax=hmax,
+        image_name=scene.state.image_name,
+    )
+    return DeviceScene(materials, triangles, bvh, textures), static

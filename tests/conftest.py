@@ -1,0 +1,36 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests run
+without TPU hardware, and keep JAX in float32."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import sys
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+SCENES_DIR = REFERENCE_ROOT / "scenes"
+
+
+@pytest.fixture(scope="session")
+def scenes_dir():
+    if not SCENES_DIR.is_dir():
+        pytest.skip("reference scenes not available")
+    return SCENES_DIR
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not REFERENCE_ROOT.is_dir():
+        pytest.skip("reference repo not available")
+    return REFERENCE_ROOT
