@@ -1,0 +1,77 @@
+"""Headline benchmark: cornell.json 800x800 depth-8 ms/frame on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Baseline: the reference's closest published proxy for cornell-class scenes is
+42.204 ms/frame (diffuse scene with stream compaction on an RTX 3060 Laptop,
+reference README.md:133-136; see BASELINE.md).  ``vs_baseline`` is the
+speedup factor baseline_ms / our_ms (>1 = faster than the reference).
+
+Extra context fields (mrays/s, spp measured, device) are included in the same
+line; the driver reads metric/value/unit/vs_baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS = 42.204  # reference README.md:133-136
+SCENE = "/root/reference/scenes/cornell.json"
+
+
+def main():
+    import jax
+
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+
+    spp_per_launch = int(os.environ.get("BENCH_BATCH", "16"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "4"))
+
+    cfg = RenderConfig(spp_per_launch=spp_per_launch)
+    r = Renderer(SCENE, cfg)
+
+    # Warmup: compile both the single-step and batched programs.
+    for _ in range(warmup):
+        r.step_many(spp_per_launch)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r.step_many(spp_per_launch)
+    dt = time.perf_counter() - t0
+    frames = reps * spp_per_launch
+    ms_per_frame = dt * 1e3 / frames
+
+    rays_per_frame = float(r._alive_counts.sum() + r.static.pixel_count)
+    mrays = rays_per_frame / (ms_per_frame * 1e3)
+
+    img = r.image_normalized()
+    import numpy as np
+
+    finite = bool(np.isfinite(img).all())
+
+    print(
+        json.dumps(
+            {
+                "metric": "cornell.json 800x800 depth-8 ms/frame",
+                "value": round(ms_per_frame, 3),
+                "unit": "ms/frame",
+                "vs_baseline": round(BASELINE_MS / ms_per_frame, 3),
+                "baseline_ms": BASELINE_MS,
+                "mrays_per_s": round(mrays, 1),
+                "frames_timed": frames,
+                "spp_per_launch": spp_per_launch,
+                "film_finite": finite,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

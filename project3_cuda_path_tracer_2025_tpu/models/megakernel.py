@@ -1,0 +1,61 @@
+"""Megakernel integrator: one fused jit per spp iteration.
+
+The reference's iteration driver (``pathtrace()``, ``src/pathtrace.cu:639-787``)
+launches a kernel chain per bounce with host round-trips between launches.
+On TPU the entire iteration -- raygen, trace_depth x (intersect + shade),
+final gather -- is a single traced function: the bounce loop is unrolled
+(trace_depth is static, <= ~16) so XLA fuses elementwise work across stage
+boundaries, path state stays in registers/VMEM between bounces, and the film
+never leaves the device.
+
+Termination is the bounces mask (dead lanes are write-masked; in a closed
+scene nearly all lanes stay live anyway, cf. the reference's closed-vs-open
+study README.md:140-151).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import camera as camera_ops
+from ..ops import film as film_ops
+from ..ops import shade as shade_ops
+from ..ops.intersect import intersect_scene
+from ..scene.camera import CameraState
+from ..scene.device import DeviceScene, SceneStatic
+from ..utils import prng
+from ..utils.vec import Vec3
+
+
+def megakernel_iteration(
+    dev: DeviceScene,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    cam: CameraState,
+    film: Vec3,
+    iteration: jnp.ndarray,  # traced scalar (1-based, like the reference)
+    base_key: jax.Array,
+) -> Tuple[Vec3, jnp.ndarray]:
+    """One full spp iteration. Returns (film', alive_counts[depth])."""
+    n = static.pixel_count
+    depth = static.trace_depth
+
+    ikey = prng.iteration_key(base_key, iteration)
+    cam_u = prng.uniforms(prng.stage_key(ikey, 0, 0), n, 4)
+    paths = camera_ops.generate_camera_rays(
+        cam, static.width, static.height, depth, cam_u
+    )
+
+    alive_counts = []
+    for d in range(depth):
+        isect = intersect_scene(dev, static, paths, cfg)
+        su = prng.uniforms(prng.stage_key(ikey, d, 1), n, 3)
+        paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
+        alive_counts.append(jnp.sum(paths.alive.astype(jnp.int32)))
+
+    film = film_ops.accumulate(film, paths)
+    return film, jnp.stack(alive_counts)

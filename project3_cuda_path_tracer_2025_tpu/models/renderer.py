@@ -1,0 +1,232 @@
+"""High-level renderer: the TPU counterpart of the reference's app shell.
+
+Replaces ``main.cpp``'s GLFW/CUDA-GL loop with a headless device-resident
+loop: scene -> device scene -> jitted iteration -> film -> PNG/HDR, plus
+checkpoint/resume of (film, iteration, rng key) -- the restartable-render
+feature the reference left unimplemented (INSTRUCTION.md:135).
+
+Camera orbit parity: ``orbit()`` applies the reference's mouse controls and,
+like ``runCuda`` (``src/main.cpp:423-453``), resets accumulation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..ops import film as film_ops
+from ..scene import load_scene
+from ..scene.camera import CameraState, OrbitState, camera_state, derive_render_camera
+from ..scene.device import build_device_scene
+from ..scene.types import HostScene
+from ..utils import image_io
+from ..utils.timers import FrameStats
+from ..utils.vec import Vec3
+from .megakernel import megakernel_iteration
+from .wavefront import wavefront_iteration
+
+
+@dataclass
+class RenderResult:
+    image: np.ndarray  # [H, W, 3] accumulated (undivided)
+    iterations: int
+    stats: FrameStats
+    alive_counts: np.ndarray  # [depth] from the last iteration
+    path: Optional[str] = None
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: HostScene | str,
+        cfg: RenderConfig = RenderConfig(),
+        seed: int = 0,
+    ) -> None:
+        if isinstance(scene, str):
+            scene = load_scene(
+                scene, leaf_size=cfg.bvh_leaf_size, native_bvh=cfg.native_bvh
+            )
+        self.scene = scene
+        self.cfg = cfg
+        self.dev, self.static = build_device_scene(scene)
+        self.orbit = OrbitState.from_camera(scene.state.camera)
+        self._base_key = jax.random.PRNGKey(seed)
+        self.iteration = 0
+        self.film: Vec3 = film_ops.new_film(self.static.pixel_count)
+        self.stats = FrameStats()
+        self._alive_counts = np.zeros(self.static.trace_depth, np.int64)
+        self._refresh_camera()
+
+        iter_fn = (
+            wavefront_iteration
+            if cfg.integrator == "wavefront"
+            else megakernel_iteration
+        )
+        dev_ = self.dev
+        static_ = self.static
+        cfg_ = self.cfg
+
+        def _step(cam: CameraState, film: Vec3, iteration, key):
+            return iter_fn(dev_, static_, cfg_, cam, film, iteration, key)
+
+        # Donate the film: it is threaded through every iteration in place.
+        self._step = jax.jit(_step, donate_argnums=(1,))
+        self._iter_fn = _step
+        self._step_many_cache: dict[int, object] = {}
+
+    # -- camera --------------------------------------------------------------
+    def _refresh_camera(self) -> None:
+        if self.cfg.spherical_camera_reconstruction:
+            cam = derive_render_camera(self.scene.state.camera, self.orbit)
+        else:
+            cam = self.scene.state.camera
+        self.render_camera = cam
+        self._cam_state = camera_state(cam)
+
+    def orbit_camera(self, dphi=0.0, dtheta=0.0, dzoom=0.0, look_at=None) -> None:
+        """Orbit controls; resets accumulation like the reference
+        (``src/main.cpp:423-425``)."""
+        self.orbit.orbit(dphi=dphi, dtheta=dtheta, dzoom=dzoom)
+        if look_at is not None:
+            self.orbit.look_at = np.asarray(look_at, np.float64)
+        self._refresh_camera()
+        self.reset()
+
+    def reset(self) -> None:
+        self.iteration = 0
+        self.film = film_ops.new_film(self.static.pixel_count)
+        self.stats = FrameStats()
+
+    # -- rendering -------------------------------------------------------------
+    def step(self) -> None:
+        """Trace one spp iteration (reference: one ``pathtrace()`` frame)."""
+        self.iteration += 1
+        t0 = time.perf_counter()
+        self.film, alive = self._step(
+            self._cam_state,
+            self.film,
+            jnp.int32(self.iteration),
+            self._base_key,
+        )
+        jax.block_until_ready(self.film.x)
+        self.stats.add((time.perf_counter() - t0) * 1e3)
+        self._alive_counts = np.asarray(alive)
+
+    def _step_many_fn(self, k: int):
+        """Jit a k-iteration loop (amortizes per-dispatch latency; the
+        reference pays a full host round-trip per frame, src/pathtrace.cu:783)."""
+        if k not in self._step_many_cache:
+            iter_fn = self._iter_fn
+            depth = self.static.trace_depth
+
+            def _many(cam: CameraState, film: Vec3, it0, key):
+                def body(i, carry):
+                    film, _ = carry
+                    return iter_fn(cam, film, it0 + i, key)
+
+                init = (film, jnp.zeros((depth,), jnp.int32))
+                return jax.lax.fori_loop(0, k, body, init)
+
+            self._step_many_cache[k] = jax.jit(_many, donate_argnums=(1,))
+        return self._step_many_cache[k]
+
+    def step_many(self, k: int) -> None:
+        """Trace k spp in one device dispatch."""
+        if k == 1:
+            self.step()
+            return
+        fn = self._step_many_fn(k)
+        t0 = time.perf_counter()
+        self.film, alive = fn(
+            self._cam_state, self.film, jnp.int32(self.iteration + 1), self._base_key
+        )
+        jax.block_until_ready(self.film.x)
+        dt_ms = (time.perf_counter() - t0) * 1e3 / k
+        for _ in range(k):
+            self.stats.add(dt_ms)
+        self.iteration += k
+        self._alive_counts = np.asarray(alive)
+
+    def render(
+        self,
+        spp: Optional[int] = None,
+        out_dir: Optional[str] = None,
+        hdr: bool = False,
+        log_every: int = 0,
+    ) -> RenderResult:
+        total = spp if spp is not None else self.static.iterations
+        batch = max(1, self.cfg.spp_per_launch)
+        while self.iteration < total:
+            self.step_many(min(batch, total - self.iteration))
+            if log_every and (self.iteration % log_every == 0 or self.iteration == total):
+                rays = float(self._alive_counts.sum() + self.static.pixel_count)
+                print(
+                    f"iter {self.iteration}/{total}  "
+                    f"{self.stats.mean_ms:.2f} ms/frame  "
+                    f"{self.stats.fps:.1f} FPS  "
+                    f"{self.stats.mrays_per_s(rays):.1f} Mrays/s  "
+                    f"depth-alive {self._alive_counts.tolist()}"
+                )
+        img = self.image()
+        path = None
+        if out_dir is not None:
+            path = image_io.save_film(
+                img,
+                self.iteration,
+                self.static.image_name,
+                out_dir=out_dir,
+                mirror=self.cfg.mirror_output,
+                hdr=hdr,
+            )
+        return RenderResult(
+            image=img,
+            iterations=self.iteration,
+            stats=self.stats,
+            alive_counts=self._alive_counts,
+            path=path,
+        )
+
+    def image(self) -> np.ndarray:
+        """Accumulated film as [H, W, 3] (host copy happens here only)."""
+        return film_ops.to_host_image(self.film, self.static.width, self.static.height)
+
+    def image_normalized(self) -> np.ndarray:
+        return self.image() / max(1, self.iteration)
+
+    def save(self, out_dir: str = "img", hdr: bool = False) -> str:
+        return image_io.save_film(
+            self.image(),
+            max(1, self.iteration),
+            self.static.image_name,
+            out_dir=out_dir,
+            mirror=self.cfg.mirror_output,
+            hdr=hdr,
+        )
+
+    # -- checkpoint / resume ---------------------------------------------------
+    def checkpoint(self, path: str) -> None:
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
+        np.savez_compressed(
+            path,
+            film_x=np.asarray(self.film.x),
+            film_y=np.asarray(self.film.y),
+            film_z=np.asarray(self.film.z),
+            iteration=self.iteration,
+            key=np.asarray(jax.random.key_data(self._base_key)),
+        )
+
+    def restore(self, path: str) -> None:
+        d = np.load(path)
+        self.film = Vec3(
+            jnp.asarray(d["film_x"]), jnp.asarray(d["film_y"]), jnp.asarray(d["film_z"])
+        )
+        self.iteration = int(d["iteration"])
+        self._base_key = jax.random.wrap_key_data(jnp.asarray(d["key"]))

@@ -1,0 +1,76 @@
+"""Wavefront integrator: per-bounce stages with compaction / material sort.
+
+Mirrors the reference architecture (``src/pathtrace.cu:696-771``): each bounce
+is intersect -> [material sort] -> shade -> [stream compaction], with the
+live count shrinking like the reference's ``num_paths``.  On TPU the
+"compaction" is a stable front-pack permutation (static shapes) and the sort
+is a stable key-sort -- both realized with scans (see ``ops.compaction``).
+
+This integrator exists for (a) A/B parity with the reference's toggles
+(images must match the megakernel modulo RNG stream), (b) material-bucketed
+dense shading, and (c) per-bounce telemetry.  RNG streams are keyed by PIXEL
+(gathered through the permutation), so compaction/sort do NOT change the
+image for a fixed (iteration, pixel, depth): the three integrator configs are
+bit-identical, which the tests assert.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import camera as camera_ops
+from ..ops import film as film_ops
+from ..ops import shade as shade_ops
+from ..ops.compaction import compact_paths, sort_paths_by_material
+from ..ops.intersect import intersect_scene
+from ..scene.camera import CameraState
+from ..scene.device import DeviceScene, SceneStatic
+from ..utils import prng
+from ..utils.vec import Vec3
+
+
+def wavefront_iteration(
+    dev: DeviceScene,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    cam: CameraState,
+    film: Vec3,
+    iteration: jnp.ndarray,
+    base_key: jax.Array,
+) -> Tuple[Vec3, jnp.ndarray]:
+    n = static.pixel_count
+    depth = static.trace_depth
+
+    ikey = prng.iteration_key(base_key, iteration)
+    cam_u = prng.uniforms(prng.stage_key(ikey, 0, 0), n, 4)
+    paths = camera_ops.generate_camera_rays(
+        cam, static.width, static.height, depth, cam_u
+    )
+
+    alive_counts = []
+    for d in range(depth):
+        isect = intersect_scene(dev, static, paths, cfg)
+
+        if cfg.material_sorting:
+            paths, isect = sort_paths_by_material(
+                paths, isect, static.num_materials
+            )
+
+        # Per-pixel RNG: draw in pixel order, gather through the current
+        # permutation so a ray's random stream is permutation-invariant.
+        su = prng.uniforms(prng.stage_key(ikey, d, 1), n, 3)
+        su = su[:, paths.pixel]
+        paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
+
+        if cfg.stream_compaction:
+            paths, live = compact_paths(paths)
+        else:
+            live = jnp.sum(paths.alive.astype(jnp.int32))
+        alive_counts.append(live)
+
+    film = film_ops.accumulate(film, paths, permuted=True)
+    return film, jnp.stack(alive_counts)

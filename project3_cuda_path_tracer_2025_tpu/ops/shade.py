@@ -1,0 +1,183 @@
+"""Shading: texture/bump lookup + BSDF scatter, one dense masked kernel.
+
+Parity with ``kernShadeMaterialProper`` (``src/pathtrace.cu:521-621``) +
+``scatterRay`` (``src/interactions.cu:438-542``):
+
+* entry skip for terminated paths (keeps their final color),
+* miss -> color = 0, terminate,
+* texture albedo override before the emissive test,
+* emissive -> color *= albedo * emittance, terminate,
+* bump-map shading-normal perturbation (forward-difference heightfield,
+  ``src/pathtrace.cu:579-607``),
+* material dispatch priority: glass > mirror > transmissive > microfacet >
+  diffuse (``src/interactions.cu:455-528``),
+* ray-offset epsilons: BABY_EPSILON along the normal for diffuse/mirror,
+  LARGER_EPSILON along the new direction for glass/transmissive/microfacet,
+* paths that exhaust their bounces keep (and later deposit) their throughput
+  -- a deliberate reference behavior kept for image parity.
+
+The megakernel integrator computes every lobe for every lane and selects by
+mask (cheap VPU ops); the wavefront integrator runs the same code over
+material-sorted buckets.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..scene.device import DeviceScene, SceneStatic
+from ..utils import vec
+from ..utils.vec import Vec3
+from . import bsdf, texture
+from .rays import Intersections, PathState
+
+
+def shade(
+    dev: DeviceScene,
+    static: SceneStatic,
+    paths: PathState,
+    isect: Intersections,
+    uniforms: jnp.ndarray,  # [4, N] U[0,1)
+    cfg: RenderConfig,
+) -> PathState:
+    mats = dev.materials
+    n = paths.pixel.shape[0]
+
+    was_alive = paths.bounces > 0
+    hit = isect.t > 0.0
+
+    mid = jnp.clip(isect.material_id, 0, static.num_materials - 1)
+    albedo = vec.select_gather(mats.color, mid)
+    emittance = mats.emittance[mid]
+    has_refl = mats.has_reflective[mid]
+    has_refr = mats.has_refractive[mid]
+    ior = mats.ior[mid]
+    roughness = mats.roughness[mid]
+    metallic = mats.metallic[mid]
+
+    # ---- texture albedo override (src/pathtrace.cu:549-553) --------------
+    if static.num_textures > 0:
+        tex_id = mats.texture_id[mid]
+        tex_rgb = texture.sample_texture(
+            dev.textures,
+            static.num_textures,
+            static.tex_wmax,
+            static.tex_hmax,
+            tex_id,
+            isect.uv_u,
+            isect.uv_v,
+        )
+        albedo = vec.where(tex_id >= 0, tex_rgb, albedo)
+
+    # ---- shading normal: bump-map perturbation (src/pathtrace.cu:579-607)
+    ng = isect.normal
+    shading_normal = ng
+    if static.num_textures > 0:
+        bump_id = mats.bump_id[mid]
+        has_bump = bump_id >= 0
+        bid = jnp.clip(bump_id, 0, static.num_textures - 1)
+        tw = dev.textures.width[bid].astype(jnp.float32)
+        th = dev.textures.height[bid].astype(jnp.float32)
+        du = 1.0 / tw
+        dv = 1.0 / th
+        args = (dev.textures, static.num_textures, static.tex_wmax, static.tex_hmax)
+        h0 = texture.sample_height(*args, bump_id, isect.uv_u, isect.uv_v)
+        h_u = texture.sample_height(*args, bump_id, isect.uv_u + du, isect.uv_v)
+        h_v = texture.sample_height(*args, bump_id, isect.uv_u, isect.uv_v + dv)
+        dhdu = (h_u - h0) / du
+        dhdv = (h_v - h0) / dv
+        scale = mats.bump_scale[mid]
+        dpdu_p = isect.dpdu + ng * (scale * dhdu)
+        dpdv_p = isect.dpdv + ng * (scale * dhdv)
+        sn = vec.normalize(vec.cross(dpdu_p, dpdv_p))
+        sn = vec.where(vec.dot(sn, ng) < 0.0, -sn, sn)
+        shading_normal = vec.where(has_bump, sn, ng)
+
+    # ---- scatter: evaluate all lobes, select by material flags ------------
+    wo_ray = paths.direction  # reference passes the raw ray direction as wo
+    normal = shading_normal
+    u_choice = uniforms[0]
+    xi0 = uniforms[1]
+    xi1 = uniforms[2]
+
+    is_glass = (has_refr > 0.0) & (has_refl > 0.0)
+    is_mirror = (has_refl > 0.0) & ~is_glass
+    is_trans = (has_refr > 0.0) & ~is_glass & ~is_mirror
+    is_micro = (roughness >= 0.0) & (metallic >= 0.0) & ~is_glass & ~is_mirror & ~is_trans
+    is_diffuse = ~(is_glass | is_mirror | is_trans | is_micro)
+
+    glass = bsdf.sample_f_glass(
+        albedo, normal, wo_ray, ior, u_choice, cfg.baby_epsilon
+    )
+    mirror = bsdf.sample_f_specular_reflection(albedo, normal, wo_ray)
+    trans, _ = bsdf.sample_f_specular_transmission(
+        albedo, normal, wo_ray, ior, cfg.baby_epsilon
+    )
+    wo_world = -vec.normalize(wo_ray)
+    micro = bsdf.sample_f_cook_torrance(
+        albedo, normal, wo_world, roughness, metallic, u_choice, xi0, xi1
+    )
+    diffuse = bsdf.sample_f_diffuse(albedo, normal, xi0, xi1)
+
+    # New direction (normalized, as scatterRay does for every branch).
+    wi = diffuse.wi
+    wi = vec.where(is_micro, micro.wi, wi)
+    wi = vec.where(is_trans, trans.wi, wi)
+    wi = vec.where(is_mirror, mirror.wi, wi)
+    wi = vec.where(is_glass, glass.wi, wi)
+    new_dir = vec.normalize(wi)
+
+    # Throughput multiplier per branch.
+    cos_theta = jnp.maximum(0.0, vec.dot(normal, new_dir))
+    # pdf == 0 can occur when the cosine sample lands exactly on the
+    # hemisphere rim (u01 can return 0); the reference divides regardless
+    # (NaN on its measure-zero LCG stream). Guard to keep the film finite.
+    diffuse_pdf_ok = diffuse.pdf > 0.0
+    diffuse_mult = vec.where(
+        diffuse_pdf_ok,
+        diffuse.f * (cos_theta / jnp.where(diffuse_pdf_ok, diffuse.pdf, 1.0)),
+        Vec3.zeros(cos_theta.shape),
+    )
+    micro_mult = vec.where(
+        micro.pdf > 0.0,
+        micro.f * (cos_theta / jnp.where(micro.pdf > 0.0, micro.pdf, 1.0)),
+        Vec3.full(cos_theta.shape, 1.0, 1.0, 1.0),  # pdf<=0 leaves color as-is
+    )
+    mult = diffuse_mult
+    mult = vec.where(is_micro, micro_mult, mult)
+    mult = vec.where(is_trans, trans.f, mult)
+    mult = vec.where(is_mirror, mirror.f, mult)
+    mult = vec.where(is_glass, glass.f, mult)
+
+    # New origin: epsilon offset differs per branch (interactions.cu:458-533).
+    intersect_pt = paths.origin + paths.direction * isect.t
+    off_normal = intersect_pt + normal * cfg.baby_epsilon  # diffuse, mirror
+    off_dir = intersect_pt + new_dir * cfg.larger_epsilon  # glass/trans/micro
+    new_origin = vec.where(is_glass | is_trans | is_micro, off_dir, off_normal)
+
+    # ---- compose final updates -------------------------------------------
+    emissive = emittance > 0.0
+    scatter_mask = was_alive & hit & ~emissive
+    emit_mask = was_alive & hit & emissive
+    miss_mask = was_alive & ~hit
+
+    color = paths.color
+    color = vec.where(emit_mask, color * (albedo * emittance), color)
+    color = vec.where(miss_mask, Vec3.zeros(color.x.shape), color)
+    color = vec.where(scatter_mask, color * mult, color)
+
+    bounces = paths.bounces
+    bounces = jnp.where(emit_mask | miss_mask, 0, bounces)
+    bounces = jnp.where(scatter_mask, bounces - 1, bounces)
+
+    origin = vec.where(scatter_mask, new_origin, paths.origin)
+    direction = vec.where(scatter_mask, new_dir, paths.direction)
+
+    return PathState(
+        origin=origin,
+        direction=direction,
+        color=color,
+        pixel=paths.pixel,
+        bounces=bounces,
+    )

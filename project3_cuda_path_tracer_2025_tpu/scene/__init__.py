@@ -7,7 +7,7 @@ from .types import (
     RenderState,
     TextureData,
 )
-from .loader import load_scene
+from .loader import load_scene, set_resolution
 from .device import DeviceScene, build_device_scene
 from .camera import derive_render_camera, camera_state
 
@@ -20,6 +20,7 @@ __all__ = [
     "RenderState",
     "TextureData",
     "load_scene",
+    "set_resolution",
     "DeviceScene",
     "build_device_scene",
     "derive_render_camera",

@@ -173,6 +173,22 @@ def load_scene(
     return scene
 
 
+def set_resolution(scene: HostScene, width: int, height: int) -> HostScene:
+    """Override the render resolution, re-deriving fovx/pixelLength exactly
+    as the loader does (``src/scene.cpp:203-211``)."""
+    cam = scene.state.camera
+    fovy = float(cam.fov[1])
+    yscaled = math.tan(fovy * (mathutil.PI / 180.0))
+    xscaled = (yscaled * width) / height
+    fovx = (math.atan(xscaled) * 180.0) / mathutil.PI
+    cam.resolution = np.asarray([width, height], np.int64)
+    cam.fov = np.asarray([fovx, fovy], np.float64)
+    cam.pixel_length = np.asarray(
+        [2.0 * xscaled / float(width), 2.0 * yscaled / float(height)], np.float64
+    )
+    return scene
+
+
 def _load_camera(cam_data: dict) -> tuple[Camera, RenderState]:
     """Camera derivation parity (``src/scene.cpp:184-218``)."""
     res = np.asarray(

@@ -36,8 +36,11 @@ class Vec3(NamedTuple):
 
     @staticmethod
     def zeros(shape, dtype=jnp.float32) -> "Vec3":
-        z = jnp.zeros(shape, dtype)
-        return Vec3(z, z, z)
+        # Three distinct buffers: callers may donate a Vec3 (e.g. the film),
+        # and XLA rejects donating the same buffer twice.
+        return Vec3(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+        )
 
     @staticmethod
     def from_scalar(vx, vy, vz, dtype=jnp.float32) -> "Vec3":

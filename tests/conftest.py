@@ -13,6 +13,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import pathlib
 import sys
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax
+
+# The container's sitecustomize force-registers the axon (TPU tunnel) backend
+# and overrides JAX_PLATFORMS; undo that so tests run on 8 virtual CPUs.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent

@@ -1,0 +1,184 @@
+"""BSDF sampling tests: distribution sanity, energy, Fresnel closed forms,
+refraction/TIR, and the reference's exact throughput semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from project3_cuda_path_tracer_2025_tpu.ops import bsdf
+from project3_cuda_path_tracer_2025_tpu.utils import vec
+from project3_cuda_path_tracer_2025_tpu.utils.mathutil import INV_PI, PI
+from project3_cuda_path_tracer_2025_tpu.utils.vec import Vec3
+
+
+def _unis(key, k, n):
+    return jax.random.uniform(jax.random.PRNGKey(key), (k, n))
+
+
+def _const_vec(n, x, y, z):
+    return Vec3.full((n,), x, y, z)
+
+
+def test_cosine_hemisphere_distribution():
+    n = 200_000
+    u = _unis(0, 2, n)
+    w = bsdf.square_to_hemisphere_cosine(u[0], u[1])
+    z = np.asarray(w.z)
+    assert (z >= 0).all()
+    # E[cos theta] under pdf cos/pi is 2/3
+    assert z.mean() == pytest.approx(2.0 / 3.0, abs=0.005)
+    # ||w|| == 1
+    l = np.asarray(vec.length(w))
+    np.testing.assert_allclose(l, 1.0, atol=1e-5)
+    # azimuthal uniformity
+    phi = np.arctan2(np.asarray(w.y), np.asarray(w.x))
+    assert abs(np.mean(phi)) < 0.02
+
+
+def test_diffuse_throughput_is_albedo():
+    """f*cos/pdf for cosine-sampled diffuse is exactly albedo -- this is what
+    keeps the reference's diffuse walls unbiased."""
+    n = 4096
+    u = _unis(1, 2, n)
+    normal = vec.normalize(_const_vec(n, 0.3, 0.8, -0.5))
+    albedo = _const_vec(n, 0.7, 0.5, 0.3)
+    s = bsdf.sample_f_diffuse(albedo, normal, u[0], u[1])
+    cos = np.maximum(0, np.asarray(vec.dot(normal, s.wi)))
+    mult = np.asarray(s.f.x) * cos / np.asarray(s.pdf)
+    np.testing.assert_allclose(mult, 0.7, atol=2e-4)
+    # samples in the normal's hemisphere
+    assert (np.asarray(vec.dot(normal, s.wi)) > -1e-6).all()
+
+
+def test_local_frame_roundtrip():
+    n = 1000
+    rng = np.random.default_rng(3)
+    nvec = rng.normal(size=(n, 3))
+    nvec /= np.linalg.norm(nvec, axis=1, keepdims=True)
+    normal = Vec3(*[jnp.asarray(nvec[:, i], jnp.float32) for i in range(3)])
+    w = rng.normal(size=(n, 3))
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    wv = Vec3(*[jnp.asarray(w[:, i], jnp.float32) for i in range(3)])
+    back = bsdf.local_to_world(normal, bsdf.world_to_local(normal, wv))
+    np.testing.assert_allclose(np.asarray(back.to_array()), w, atol=1e-5)
+
+
+def test_fresnel_dielectric_closed_form():
+    ior = 1.5
+    # normal incidence: ((n1-n2)/(n1+n2))^2 = (0.5/2.5)^2 = 0.04
+    f0 = bsdf.fresnel_dielectric_eval(jnp.asarray([-1.0]), ior)
+    assert float(f0[0]) == pytest.approx(0.04, abs=1e-6)
+    # grazing -> 1
+    fg = bsdf.fresnel_dielectric_eval(jnp.asarray([-0.001]), ior)
+    assert float(fg[0]) == pytest.approx(1.0, abs=1e-2)
+    # monotone in between
+    cos = -jnp.linspace(0.02, 1.0, 64)
+    f = np.asarray(bsdf.fresnel_dielectric_eval(cos, ior))
+    assert (np.diff(f) <= 1e-7).all()
+
+
+def test_refract_snell_and_tir():
+    n = Vec3.from_scalar(0.0, 0.0, 1.0)
+    # 45 degrees into glass
+    i = vec.normalize(Vec3.from_scalar(1.0, 0.0, -1.0))
+    wt = vec.refract(i, n, 1.0 / 1.5)
+    sin_in = np.sqrt(0.5)
+    sin_out = float(jnp.sqrt(wt.x**2 + wt.y**2))
+    assert sin_out == pytest.approx(sin_in / 1.5, abs=1e-6)
+    # TIR: from inside glass at grazing angle -> zero vector
+    i2 = vec.normalize(Vec3.from_scalar(1.0, 0.0, -0.2))
+    wt2 = vec.refract(i2, n, 1.5)
+    assert float(vec.length(wt2)) == 0.0
+
+
+def test_specular_transmission_tir_is_black():
+    """sampleFSpecularTrans returns f=0 on TIR (interactions.cu:161-165)."""
+    n = 1
+    normal = _const_vec(n, 0.0, 0.0, 1.0)
+    albedo = _const_vec(n, 1.0, 1.0, 1.0)
+    # shallow grazing ray from inside (entering == dot(wo,n)<0 is False)
+    wo = vec.normalize(_const_vec(n, 1.0, 0.0, 0.2))
+    s, tir = bsdf.sample_f_specular_transmission(albedo, normal, wo, 1.5, 1e-5)
+    assert bool(tir[0])
+    assert float(s.f.x[0]) == 0.0
+    # reflected direction
+    refl = vec.reflect(wo, normal)
+    np.testing.assert_allclose(
+        np.asarray(s.wi.to_array()), np.asarray(refl.to_array()), atol=1e-6
+    )
+
+
+def test_glass_tir_keeps_albedo():
+    """sampleFGlass returns albedo even on TIR (interactions.cu:226-230)."""
+    n = 1
+    normal = _const_vec(n, 0.0, 0.0, 1.0)
+    albedo = _const_vec(n, 0.8, 0.6, 0.4)
+    wo = vec.normalize(_const_vec(n, 1.0, 0.0, 0.2))
+    s = bsdf.sample_f_glass(albedo, normal, wo, 1.5, jnp.asarray([0.99]), 1e-5)
+    assert float(s.f.x[0]) == pytest.approx(0.8)
+
+
+def test_mirror_reflection():
+    n = 1
+    normal = _const_vec(n, 0.0, 0.0, 1.0)
+    wo = vec.normalize(_const_vec(n, 1.0, 0.0, -1.0))
+    s = bsdf.sample_f_specular_reflection(_const_vec(n, 1, 1, 1), normal, wo)
+    np.testing.assert_allclose(
+        np.asarray(s.wi.to_array())[0], [1 / np.sqrt(2), 0, 1 / np.sqrt(2)], atol=1e-6
+    )
+
+
+def test_ggx_d_normalization():
+    """Integral of D(wh) cos(wh) over the hemisphere must be 1."""
+    rough = 0.5
+    n = 400_000
+    u = _unis(5, 2, n)
+    # uniform hemisphere sampling: z = u0, phi = 2 pi u1
+    z = np.asarray(u[0])
+    phi = 2 * np.pi * np.asarray(u[1])
+    s = np.sqrt(np.maximum(0, 1 - z * z))
+    wh = Vec3(jnp.asarray(s * np.cos(phi)), jnp.asarray(s * np.sin(phi)), jnp.asarray(z))
+    d = np.asarray(bsdf._trowbridge_reitz_d(wh, rough))
+    integral = (d * z).mean() * 2 * np.pi  # pdf = 1/(2 pi)
+    assert integral == pytest.approx(1.0, rel=0.02)
+
+
+def test_ggx_sample_wh_matches_pdf_mean():
+    """sampleWH draws from D(wh)|cos| -- check E[cos theta_h] against a
+    numerically integrated ground truth."""
+    rough = 0.4
+    n = 300_000
+    u = _unis(6, 2, n)
+    wo = _const_vec(n, 0.0, 0.0, 1.0)
+    wh = bsdf._sample_wh(wo, rough, u[0], u[1])
+    z = np.asarray(wh.z)
+    # ground truth E[z] under pdf D(wh) z, integrated in float64
+    theta = np.linspace(1e-6, np.pi / 2 - 1e-6, 20001)
+    ct, st = np.cos(theta), np.sin(theta)
+    tan2 = (st / ct) ** 2
+    r2 = rough * rough
+    d = 1.0 / (np.pi * r2 * ct**4 * (1.0 + tan2 / r2) ** 2)
+    w = d * ct * st  # pdf over theta (times 2pi, cancels)
+    expect = (ct * w).sum() / w.sum()
+    assert z.mean() == pytest.approx(expect, abs=0.01)
+
+
+def test_cook_torrance_finite_and_hemispherical():
+    n = 50_000
+    u = _unis(7, 3, n)
+    normal = vec.normalize(_const_vec(n, 0.1, 0.2, 0.97))
+    albedo = _const_vec(n, 0.9, 0.7, 0.4)
+    wo_world = vec.normalize(_const_vec(n, 0.3, -0.2, 0.9))
+    s = bsdf.sample_f_cook_torrance(
+        albedo, normal, wo_world, 0.3, 0.5, u[0], u[1], u[2]
+    )
+    assert np.isfinite(np.asarray(s.f.to_array())).all()
+    assert np.isfinite(np.asarray(s.pdf)).all()
+    assert np.isfinite(np.asarray(s.wi.to_array())).all()
+    # throughput with the reference's pdf>0 guard is finite
+    cos = np.maximum(0, np.asarray(vec.dot(normal, s.wi)))
+    pdf = np.asarray(s.pdf)
+    mult = np.where(pdf > 0, np.asarray(s.f.x) * cos / np.where(pdf > 0, pdf, 1), 1.0)
+    assert np.isfinite(mult).all()
