@@ -16,12 +16,35 @@ _LIB = None
 _TRIED = False
 
 
+def _try_build(here: str) -> None:
+    """Best-effort one-shot build of the shared library from source."""
+    import shutil
+    import subprocess
+
+    if shutil.which("make") is None and shutil.which("g++") is None:
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", here],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
 def _find_lib():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     here = os.path.dirname(__file__)
+    if not any(
+        os.path.exists(os.path.join(here, n))
+        for n in ("libbvh_builder.so", "bvh_builder.so")
+    ):
+        _try_build(here)
     for name in ("libbvh_builder.so", "bvh_builder.so"):
         path = os.path.join(here, name)
         if os.path.exists(path):
