@@ -60,6 +60,12 @@ class RenderConfig:
     # Pallas hot kernels (intersection / scan) vs pure-jnp reference path.
     use_pallas: bool = False
 
+    # Loop lowering: Python-unroll the bounce loop (better fusion, bigger
+    # HLO) vs lax.fori_loop (compact HLO).  None = auto (unroll).
+    unroll_bounces: Optional[bool] = None
+    # Python-unroll the <=leaf_size triangle tests inside BVH traversal.
+    unroll_leaf: bool = True
+
     # Camera parity quirks.
     # The reference re-derives the render camera from spherical coordinates on
     # the first frame (src/main.cpp:423-444) instead of using EYE directly.

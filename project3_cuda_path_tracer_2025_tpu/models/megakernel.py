@@ -50,12 +50,30 @@ def megakernel_iteration(
         cam, static.width, static.height, depth, cam_u
     )
 
-    alive_counts = []
-    for d in range(depth):
+    def bounce(d, carry):
+        paths, alive_counts = carry
         isect = intersect_scene(dev, static, paths, cfg)
         su = prng.uniforms(prng.stage_key(ikey, d, 1), n, 3)
         paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
-        alive_counts.append(jnp.sum(paths.alive.astype(jnp.int32)))
+        alive_counts = alive_counts.at[d].set(
+            jnp.sum(paths.alive.astype(jnp.int32))
+        )
+        return paths, alive_counts
+
+    # Loop lowering choice: Python unroll maximizes cross-bounce fusion
+    # (fastest at runtime) at the cost of an HLO ~depth x larger; fori_loop
+    # traces the bounce once (fast compiles).  Auto currently unrolls --
+    # the TPU compiler handles both for prim-only scenes, but the
+    # fori(while(...)) nesting of mesh traversal has shown pathological
+    # compile behavior, so mesh scenes stay unrolled too.
+    unroll = cfg.unroll_bounces if cfg.unroll_bounces is not None else True
+    carry = (paths, jnp.zeros((depth,), jnp.int32))
+    if unroll:
+        for d in range(depth):
+            carry = bounce(d, carry)
+        paths, alive_counts = carry
+    else:
+        paths, alive_counts = jax.lax.fori_loop(0, depth, bounce, carry)
 
     film = film_ops.accumulate(film, paths)
-    return film, jnp.stack(alive_counts)
+    return film, alive_counts

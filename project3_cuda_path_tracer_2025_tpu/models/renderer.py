@@ -49,6 +49,15 @@ class Renderer:
         cfg: RenderConfig = RenderConfig(),
         seed: int = 0,
     ) -> None:
+        # Persistent XLA compile cache: scene-shaped programs compile once
+        # per machine (mesh traversal programs are expensive to compile).
+        try:
+            if not jax.config.jax_compilation_cache_dir:
+                jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        except Exception:
+            pass
+
         if isinstance(scene, str):
             scene = load_scene(
                 scene, leaf_size=cfg.bvh_leaf_size, native_bvh=cfg.native_bvh

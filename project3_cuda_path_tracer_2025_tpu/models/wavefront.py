@@ -51,8 +51,8 @@ def wavefront_iteration(
         cam, static.width, static.height, depth, cam_u
     )
 
-    alive_counts = []
-    for d in range(depth):
+    def bounce(d, carry):
+        paths, alive_counts = carry
         isect = intersect_scene(dev, static, paths, cfg)
 
         if cfg.material_sorting:
@@ -70,7 +70,16 @@ def wavefront_iteration(
             paths, live = compact_paths(paths)
         else:
             live = jnp.sum(paths.alive.astype(jnp.int32))
-        alive_counts.append(live)
+        return paths, alive_counts.at[d].set(live)
+
+    unroll = cfg.unroll_bounces if cfg.unroll_bounces is not None else True
+    carry = (paths, jnp.zeros((depth,), jnp.int32))
+    if unroll:
+        for d in range(depth):
+            carry = bounce(d, carry)
+        paths, alive_counts = carry
+    else:
+        paths, alive_counts = jax.lax.fori_loop(0, depth, bounce, carry)
 
     film = film_ops.accumulate(film, paths, permuted=True)
-    return film, jnp.stack(alive_counts)
+    return film, alive_counts

@@ -186,6 +186,7 @@ def mesh_intersect_bvh(
     active: jnp.ndarray,
     t_limit: jnp.ndarray,
     baby_eps: float,
+    unroll_leaf: bool = True,
 ) -> MeshHit:
     """Threaded-BVH closest-hit over all rays.
 
@@ -240,10 +241,17 @@ def mesh_intersect_bvh(
         is_leaf = count > 0
 
         do_leaf = live & aabb_hit & is_leaf
-        for k in range(static.leaf_size):
-            best = _leaf_test(
-                dev, ro, rd, start + k, do_leaf & (k < count), best, baby_eps
+
+        def leaf_body(k, b):
+            return _leaf_test(
+                dev, ro, rd, start + k, do_leaf & (k < count), b, baby_eps
             )
+
+        if unroll_leaf:
+            for k in range(static.leaf_size):
+                best = leaf_body(k, best)
+        else:
+            best = jax.lax.fori_loop(0, static.leaf_size, leaf_body, best)
 
         descend = live & aabb_hit & ~is_leaf
         nxt = jnp.where(descend, nidx + 1, bvh.miss[nidx])
@@ -319,7 +327,8 @@ def intersect_scene(
         active = paths.alive
         if cfg.bvh_acceleration and static.num_nodes > 0:
             mh = mesh_intersect_bvh(
-                dev, static, ro, rd, active, t_min, cfg.baby_epsilon
+                dev, static, ro, rd, active, t_min, cfg.baby_epsilon,
+                unroll_leaf=cfg.unroll_leaf,
             )
         else:
             mh = mesh_intersect_brute(

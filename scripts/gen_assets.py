@@ -1,0 +1,169 @@
+"""Generate local fixture assets: procedural meshes + scene files.
+
+The reference mirror is missing all scenes/obj/*.obj (large-blob strip), so
+mesh benchmarks use procedural stand-ins of comparable triangle counts:
+
+* icosphere(4) ~ 5.1k tris  (phatphuck-class)
+* icosphere(5) ~ 20.5k tris
+* torus-knot   ~ 80k tris   (cyrene/heavy-class)
+
+Writes OBJ files into scenes/obj/ and Cornell-style scene JSONs into
+scenes/ (same schema as the reference loader).
+"""
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SCENES = os.path.join(os.path.dirname(HERE), "scenes")
+
+
+def icosphere(subdiv: int):
+    t = (1.0 + math.sqrt(5.0)) / 2.0
+    verts = [
+        (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+        (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+        (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1),
+    ]
+    verts = [np.asarray(v, float) / np.linalg.norm(v) for v in verts]
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    cache = {}
+
+    def midpoint(i, j):
+        key = (min(i, j), max(i, j))
+        if key not in cache:
+            m = verts[i] + verts[j]
+            m /= np.linalg.norm(m)
+            verts.append(m)
+            cache[key] = len(verts) - 1
+        return cache[key]
+
+    for _ in range(subdiv):
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        faces = new_faces
+    return np.asarray(verts), faces
+
+
+def torus_knot(p=2, q=3, seg_u=400, seg_v=100, r_tube=0.35):
+    us = np.linspace(0, 2 * np.pi, seg_u, endpoint=False)
+    # center curve of a (p,q) torus knot
+    cx = np.cos(p * us) * (2 + np.cos(q * us))
+    cy = np.sin(p * us) * (2 + np.cos(q * us))
+    cz = np.sin(q * us)
+    c = np.stack([cx, cy, cz], 1)
+    tangent = np.roll(c, -1, 0) - np.roll(c, 1, 0)
+    tangent /= np.linalg.norm(tangent, axis=1, keepdims=True)
+    up = np.asarray([0.0, 0.0, 1.0])
+    n1 = np.cross(tangent, up)
+    n1 /= np.maximum(np.linalg.norm(n1, axis=1, keepdims=True), 1e-9)
+    n2 = np.cross(tangent, n1)
+
+    vs = np.linspace(0, 2 * np.pi, seg_v, endpoint=False)
+    verts = (
+        c[:, None, :]
+        + r_tube * (np.cos(vs)[None, :, None] * n1[:, None, :]
+                    + np.sin(vs)[None, :, None] * n2[:, None, :])
+    ).reshape(-1, 3)
+    faces = []
+    for i in range(seg_u):
+        for j in range(seg_v):
+            a = i * seg_v + j
+            b = ((i + 1) % seg_u) * seg_v + j
+            c2 = ((i + 1) % seg_u) * seg_v + (j + 1) % seg_v
+            d = i * seg_v + (j + 1) % seg_v
+            faces.append((a, b, c2))
+            faces.append((a, c2, d))
+    return verts / 3.0, faces
+
+
+def write_obj(path, verts, faces, with_normals=False):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        if with_normals:
+            for v in verts:  # sphere-like: normal == position direction
+                n = v / max(np.linalg.norm(v), 1e-9)
+                f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+            for a, b, c in faces:
+                f.write(f"f {a+1}//{a+1} {b+1}//{b+1} {c+1}//{c+1}\n")
+        else:
+            for a, b, c in faces:
+                f.write(f"f {a+1} {b+1} {c+1}\n")
+
+
+def cornell_mesh_scene(obj_name, scale, out_name, res=800, depth=8, iters=5000):
+    """Cornell-box scene (reference schema) around a mesh."""
+    scene = {
+        "Materials": {
+            "light": {"TYPE": "Emitting", "RGB": [1.0, 1.0, 1.0], "EMITTANCE": 5.0},
+            "diffuse_white": {"TYPE": "Diffuse", "RGB": [0.98, 0.98, 0.98]},
+            "diffuse_red": {"TYPE": "Diffuse", "RGB": [0.85, 0.35, 0.35]},
+            "diffuse_green": {"TYPE": "Diffuse", "RGB": [0.35, 0.85, 0.35]},
+            "mesh_mat": {"TYPE": "Diffuse", "RGB": [0.85, 0.7, 0.45]},
+        },
+        "Camera": {
+            "RES": [res, res],
+            "FOVY": 45.0,
+            "ITERATIONS": iters,
+            "DEPTH": depth,
+            "FILE": out_name,
+            "EYE": [0.0, 5.0, 10.5],
+            "LOOKAT": [0.0, 5.0, 0.0],
+            "UP": [0.0, 1.0, 0.0],
+            "APERTURE": 0.0,
+        },
+        "Objects": [
+            {"TYPE": "cube", "MATERIAL": "light",
+             "TRANS": [0, 10, 0], "ROTAT": [0, 0, 0], "SCALE": [3, 0.3, 3]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 0, 0], "ROTAT": [0, 0, 0], "SCALE": [10, 0.01, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 10, 0], "ROTAT": [0, 0, 90], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 5, -5], "ROTAT": [0, 90, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_red",
+             "TRANS": [-5, 5, 0], "ROTAT": [0, 0, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_green",
+             "TRANS": [5, 5, 0], "ROTAT": [0, 0, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "obj", "PATH": f"obj/{obj_name}", "MATERIAL": "mesh_mat",
+             "TRANS": [0, 4, 0], "ROTAT": [0, 30, 0],
+             "SCALE": [scale, scale, scale]},
+        ],
+    }
+    with open(os.path.join(SCENES, out_name + ".json"), "w") as f:
+        json.dump(scene, f, indent=2)
+
+
+def main():
+    os.makedirs(os.path.join(SCENES, "obj"), exist_ok=True)
+
+    v, f = icosphere(4)
+    write_obj(os.path.join(SCENES, "obj", "ico4.obj"), v, f, with_normals=True)
+    print(f"ico4: {len(f)} tris")
+    cornell_mesh_scene("ico4.obj", 2.5, "cornell_mesh_5k")
+
+    v, f = icosphere(5)
+    write_obj(os.path.join(SCENES, "obj", "ico5.obj"), v, f, with_normals=True)
+    print(f"ico5: {len(f)} tris")
+    cornell_mesh_scene("ico5.obj", 2.5, "cornell_mesh_20k")
+
+    v, f = torus_knot()
+    write_obj(os.path.join(SCENES, "obj", "knot80k.obj"), v, f)
+    print(f"knot: {len(f)} tris")
+    cornell_mesh_scene("knot80k.obj", 2.0, "cornell_mesh_80k")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
