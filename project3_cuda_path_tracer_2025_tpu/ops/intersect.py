@@ -186,18 +186,37 @@ def mesh_intersect_bvh(
     active: jnp.ndarray,
     t_limit: jnp.ndarray,
     baby_eps: float,
-    unroll_leaf: bool = True,
+    unroll_leaf: bool = True,  # kept for config compatibility; leaf tests are vectorized
 ) -> MeshHit:
     """Threaded-BVH closest-hit over all rays.
 
-    Traversal state per ray is a single int32 node cursor that only moves
-    forward in pre-order; rays that are done (or inactive) sit at
-    ``num_nodes``.  The loop runs until every ray finishes -- each node is
-    visited at most once per ray so the bound is num_nodes steps.
+    Traversal state per ray is one int32 node cursor that only moves forward
+    in its direction octant's pre-order layout (near children first, see
+    ``scene.bvh.build_octant_layouts``) -- no per-ray stack.  Each step does
+    exactly TWO gathers: the packed 16-float node record and the leaf's
+    [leaf_size, 12] triangle block; everything else is fusible elementwise
+    math, keeping per-step dispatch cost flat.  Closest-hit pruning on AABB
+    entry distance plus the ordered layout keeps the step count near the
+    per-ray optimum; the loop exits when every ray's cursor reaches
+    ``num_nodes``.
+
+    Semantics identical to ``bvhMeshIntersectionTest``
+    (src/intersections.cu:148-234): same Moller-Trumbore epsilons, same
+    closest-hit result (visit order only affects performance).
     """
     m = static.num_nodes
     n = ro.x.shape[0]
-    bvh = dev.bvh
+    k_leaf = static.leaf_size
+    nodes = dev.bvh.nodes  # [8*M, 16]
+    tris = dev.bvh.tris  # [T, 12]
+    num_tris = static.num_triangles
+
+    octant = (
+        (rd.x < 0).astype(jnp.int32)
+        + 2 * (rd.y < 0).astype(jnp.int32)
+        + 4 * (rd.z < 0).astype(jnp.int32)
+    )
+    base = octant * m
 
     node0 = jnp.where(active, 0, m).astype(jnp.int32)
     best0 = MeshHit(
@@ -208,6 +227,7 @@ def mesh_intersect_bvh(
     )
 
     inv_d = Vec3(1.0 / rd.x, 1.0 / rd.y, 1.0 / rd.z)
+    karange = jnp.arange(k_leaf, dtype=jnp.int32)
 
     def cond(state):
         node, _ = state
@@ -218,43 +238,72 @@ def mesh_intersect_bvh(
         live = node < m
         nidx = jnp.clip(node, 0, m - 1)
 
-        nmin = vec.select_gather(bvh.aabb_min, nidx)
-        nmax = vec.select_gather(bvh.aabb_max, nidx)
-
-        # Slab test (src/intersections.cu:237-275 semantics, branch-free).
-        t1 = (nmin - ro) * inv_d
-        t2 = (nmax - ro) * inv_d
+        rec = nodes[base + nidx]  # [N, 16] single gather
+        t1x = (rec[:, 0] - ro.x) * inv_d.x
+        t1y = (rec[:, 1] - ro.y) * inv_d.y
+        t1z = (rec[:, 2] - ro.z) * inv_d.z
+        t2x = (rec[:, 3] - ro.x) * inv_d.x
+        t2y = (rec[:, 4] - ro.y) * inv_d.y
+        t2z = (rec[:, 5] - ro.z) * inv_d.z
         tlo = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1.x, t2.x), jnp.minimum(t1.y, t2.y)),
-            jnp.minimum(t1.z, t2.z),
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
         )
         thi = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1.x, t2.x), jnp.maximum(t1.y, t2.y)),
-            jnp.maximum(t1.z, t2.z),
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
         )
         # Entry-distance pruning vs current best t never changes the closest
         # hit; it only skips provably-farther subtrees.
         aabb_hit = (thi >= tlo) & (thi > 0.0) & (tlo < best.t)
 
-        count = bvh.count[nidx]
-        start = bvh.start[nidx]
+        miss_link = rec[:, 6].astype(jnp.int32)
+        start = rec[:, 7].astype(jnp.int32)
+        count = rec[:, 8].astype(jnp.int32)
         is_leaf = count > 0
-
         do_leaf = live & aabb_hit & is_leaf
 
-        def leaf_body(k, b):
-            return _leaf_test(
-                dev, ro, rd, start + k, do_leaf & (k < count), b, baby_eps
-            )
+        # One gather for the whole leaf: [N, K, 12].
+        tri_idx = jnp.clip(start[:, None] + karange[None, :], 0, num_tris - 1)
+        blk = tris[tri_idx]
+        v0 = blk[..., 0:3]
+        e1 = blk[..., 3:6]
+        e2 = blk[..., 6:9]
+        d = jnp.stack([rd.x, rd.y, rd.z], -1)[:, None, :]  # [N, 1, 3]
+        o = jnp.stack([ro.x, ro.y, ro.z], -1)[:, None, :]
 
-        if unroll_leaf:
-            for k in range(static.leaf_size):
-                best = leaf_body(k, best)
-        else:
-            best = jax.lax.fori_loop(0, static.leaf_size, leaf_body, best)
+        pvec = jnp.cross(d, e2)
+        det = jnp.sum(e1 * pvec, -1)
+        det_ok = jnp.abs(det) >= baby_eps
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvec = o - v0
+        u = jnp.sum(tvec * pvec, -1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(d * qvec, -1) * inv_det
+        tt = jnp.sum(e2 * qvec, -1) * inv_det
+        hit = (
+            det_ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt > baby_eps)
+        )
+        valid = do_leaf[:, None] & (karange[None, :] < count[:, None]) & hit
+        ttm = jnp.where(valid & (tt > 0.0) & (tt < best.t[:, None]), tt, FLT_MAX)
+        kbest = jnp.argmin(ttm, axis=1)
+        cand_t = jnp.take_along_axis(ttm, kbest[:, None], 1)[:, 0]
+        closer = cand_t < best.t
+        sel = lambda a: jnp.take_along_axis(a, kbest[:, None], 1)[:, 0]
+        best = MeshHit(
+            t=jnp.where(closer, cand_t, best.t),
+            tri=jnp.where(closer, sel(tri_idx), best.tri),
+            u=jnp.where(closer, sel(u), best.u),
+            v=jnp.where(closer, sel(v), best.v),
+        )
 
         descend = live & aabb_hit & ~is_leaf
-        nxt = jnp.where(descend, nidx + 1, bvh.miss[nidx])
+        nxt = jnp.where(descend, nidx + 1, miss_link)
         node = jnp.where(live, nxt, node)
         return node, best
 
@@ -325,7 +374,27 @@ def intersect_scene(
 
     if static.has_triangles:
         active = paths.alive
-        if cfg.bvh_acceleration and static.num_nodes > 0:
+        if (
+            cfg.use_pallas
+            and cfg.bvh_acceleration
+            and static.pallas_lanes > 0
+        ):
+            from .intersect_pallas import mesh_intersect_pallas
+
+            mh = mesh_intersect_pallas(
+                dev.pallas_mesh,
+                static.pallas_lanes,
+                static.num_nodes,
+                static.num_triangles,
+                static.leaf_size,
+                ro,
+                rd,
+                active,
+                t_min,
+                cfg.baby_epsilon,
+                interpret=jax.default_backend() == "cpu",
+            )
+        elif cfg.bvh_acceleration and static.num_nodes > 0:
             mh = mesh_intersect_bvh(
                 dev, static, ro, rd, active, t_min, cfg.baby_epsilon,
                 unroll_leaf=cfg.unroll_leaf,

@@ -55,6 +55,20 @@ class BVH:
     def num_nodes(self) -> int:
         return int(self.left.shape[0])
 
+    def split_axes(self) -> np.ndarray:
+        """Per-node split axis, inferred from child AABB centers (valid for
+        internal nodes; 0 for leaves).  Used for ordered traversal only, so
+        an approximate axis is fine."""
+        m = self.num_nodes
+        axes = np.zeros(m, np.int32)
+        internal = self.left >= 0
+        l = self.left[internal]
+        r = self.right[internal]
+        cl = (self.aabb_min[l] + self.aabb_max[l]) * 0.5
+        cr = (self.aabb_min[r] + self.aabb_max[r]) * 0.5
+        axes[internal] = np.argmax(np.abs(cr - cl), axis=1)
+        return axes
+
 
 def build_bvh(
     tri_vertices: np.ndarray,
@@ -160,6 +174,70 @@ def _build_numpy(tri_vertices: np.ndarray, centroids: np.ndarray, leaf_size: int
         tri_indices=tri_indices.astype(np.int32),
     )
     return _finish(out, leaf_size)
+
+
+@dataclass
+class OctantBVH:
+    """Eight direction-ordered threaded layouts of one BVH.
+
+    For rays whose direction sign along a node's split axis is positive, the
+    lower-side child should be visited first (near-to-far) so the first hit
+    prunes the far subtree.  A single pre-order threading fixes ONE child
+    order, so we materialize all 8 orderings (one per direction octant) and
+    each ray walks the layout matching its octant: octant bit a set
+    (direction negative along axis a) -> upper child first.
+
+    All arrays are [8, M]; layout o's node j carries ``node[o, j]`` data and
+    jumps to ``miss[o, j]`` on miss / ``j + 1`` on internal hit.  Leaf
+    start/count index the (shared) leaf-ordered triangle arrays.
+    """
+
+    aabb_min: np.ndarray  # [8, M, 3] f32
+    aabb_max: np.ndarray
+    miss: np.ndarray  # [8, M] i32
+    start: np.ndarray  # [8, M] i32
+    count: np.ndarray  # [8, M] i32
+
+
+def build_octant_layouts(bvh: BVH) -> OctantBVH:
+    m = bvh.num_nodes
+    axes = bvh.split_axes()
+    # Subtree sizes are layout-invariant; in the original pre-order a subtree
+    # is contiguous, so size = miss_link - index.
+    subtree = (bvh.miss_link - np.arange(m)).astype(np.int64)
+
+    amin = np.zeros((8, m, 3), np.float32)
+    amax = np.zeros((8, m, 3), np.float32)
+    miss = np.zeros((8, m), np.int32)
+    start = np.zeros((8, m), np.int32)
+    count = np.zeros((8, m), np.int32)
+
+    for o in range(8):
+        neg = ((o >> 0) & 1, (o >> 1) & 1, (o >> 2) & 1)  # bit a: dir[a] < 0
+        order = np.empty(m, np.int64)
+        pos = 0
+        stack = [(0, m)]  # (original node, miss slot in NEW numbering)
+        while stack:
+            node, miss_after = stack.pop()
+            new_idx = pos
+            pos += 1
+            order[new_idx] = node
+            miss[o, new_idx] = miss_after
+            l, r = bvh.left[node], bvh.right[node]
+            if l < 0:  # leaf
+                start[o, new_idx] = bvh.start[node]
+                count[o, new_idx] = bvh.tri_count[node]
+                continue
+            start[o, new_idx] = -1
+            count[o, new_idx] = 0
+            first, second = (l, r) if not neg[axes[node]] else (r, l)
+            # first child occupies [new_idx+1, new_idx+1+subtree[first]);
+            # second child follows it and exits to this node's miss slot.
+            stack.append((second, miss_after))
+            stack.append((first, int(new_idx + 1 + subtree[first])))
+        amin[o] = bvh.aabb_min[order]
+        amax[o] = bvh.aabb_max[order]
+    return OctantBVH(aabb_min=amin, aabb_max=amax, miss=miss, start=start, count=count)
 
 
 def _compute_miss_links(left: np.ndarray, right: np.ndarray) -> np.ndarray:

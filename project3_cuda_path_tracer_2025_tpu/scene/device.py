@@ -56,6 +56,9 @@ class SceneStatic:
     tex_wmax: int
     tex_hmax: int
     image_name: str
+    # Lane width of the Pallas traversal tables; 0 = mesh too large for
+    # VMEM-resident traversal (jnp path used instead).
+    pallas_lanes: int = 0
 
     @property
     def has_triangles(self) -> bool:
@@ -98,11 +101,107 @@ class TriangleTable(NamedTuple):
 
 
 class BVHTable(NamedTuple):
-    aabb_min: Vec3  # [M]
-    aabb_max: Vec3
-    start: jnp.ndarray  # i32, -1 for internal nodes
-    count: jnp.ndarray  # i32, 0 for internal nodes
-    miss: jnp.ndarray  # i32 threaded skip link
+    """Packed, octant-ordered BVH for row-gather traversal.
+
+    ``nodes``: [8*M, 16] float32 -- 8 direction-ordered threaded layouts
+    (see ``scene.bvh.build_octant_layouts``); a ray walks the layout of its
+    direction octant so subtrees are visited near-to-far and the closest-hit
+    prune cuts the far side.  Row = one node record:
+    cols 0-2 aabb_min, 3-5 aabb_max, 6 miss link, 7 leaf start, 8 leaf count
+    (links/counts stored as exact small-integer floats so ONE f32 gather
+    fetches the whole record -- per-field gathers cost ~10x more dispatches).
+
+    ``tris``: [T, 12] float32 -- v0 (0-2), edge1 (3-5), edge2 (6-8) in
+    BVH-leaf order, fetched as [N, leaf_size, 12] in a single gather.
+    """
+
+    nodes: jnp.ndarray  # [8*M, 16] f32
+    tris: jnp.ndarray  # [T, 12] f32
+
+
+class PallasMeshTables(NamedTuple):
+    """Lane-indexed, sublane-replicated tables for the Pallas BVH traversal
+    kernel (``ops.intersect_pallas``).  Every field is [8, L]: the Mosaic
+    ``dynamic_gather`` lowering requires table.shape == index.shape, so the
+    node/triangle tables share one lane-padded width L and ray blocks are
+    8*L rays.  Triangles are stored as v0 + the two Moller-Trumbore edges."""
+
+    nmin_x: jnp.ndarray
+    nmin_y: jnp.ndarray
+    nmin_z: jnp.ndarray
+    nmax_x: jnp.ndarray
+    nmax_y: jnp.ndarray
+    nmax_z: jnp.ndarray
+    nmiss: jnp.ndarray  # i32
+    nstart: jnp.ndarray  # i32 (-1 internal)
+    ncount: jnp.ndarray  # i32
+    t0x: jnp.ndarray
+    t0y: jnp.ndarray
+    t0z: jnp.ndarray
+    e1x: jnp.ndarray
+    e1y: jnp.ndarray
+    e1z: jnp.ndarray
+    e2x: jnp.ndarray
+    e2y: jnp.ndarray
+    e2z: jnp.ndarray
+
+
+_PALLAS_SUBLANES = 8
+_PALLAS_LANE_PAD = 128
+# Conservative VMEM ceiling for tables + ray block (v5e ~16MB usable).
+_PALLAS_MAX_LANES = 12032
+
+
+def _pallas_replicate(row: np.ndarray, lanes: int, dtype) -> jnp.ndarray:
+    out = np.zeros((_PALLAS_SUBLANES, lanes), dtype)
+    out[:, : row.shape[0]] = row[None, :]
+    return jnp.asarray(out)
+
+
+def _dummy_pallas_tables() -> PallasMeshTables:
+    z = lambda dt: jnp.zeros((_PALLAS_SUBLANES, _PALLAS_LANE_PAD), dt)
+    f = z(jnp.float32)
+    i = z(jnp.int32)
+    return PallasMeshTables(f, f, f, f, f, f, i, i, i, f, f, f, f, f, f, f, f, f)
+
+
+def _build_pallas_tables(bvh, pos: np.ndarray) -> tuple[PallasMeshTables, int]:
+    """``bvh``: scene.bvh.BVH; ``pos``: leaf-ordered [T, 3, 3] positions.
+    Returns (tables, lanes); lanes == 0 when the mesh exceeds the VMEM
+    budget (callers then use the jnp traversal)."""
+    m = bvh.num_nodes
+    t = pos.shape[0]
+    lanes = max(
+        _PALLAS_LANE_PAD,
+        ((max(m, t) + _PALLAS_LANE_PAD - 1) // _PALLAS_LANE_PAD) * _PALLAS_LANE_PAD,
+    )
+    if lanes > _PALLAS_MAX_LANES:
+        return _dummy_pallas_tables(), 0
+    f32, i32 = np.float32, np.int32
+    v0 = pos[:, 0].astype(f32)
+    e1 = (pos[:, 1] - pos[:, 0]).astype(f32)
+    e2 = (pos[:, 2] - pos[:, 0]).astype(f32)
+    tables = PallasMeshTables(
+        nmin_x=_pallas_replicate(bvh.aabb_min[:, 0].astype(f32), lanes, f32),
+        nmin_y=_pallas_replicate(bvh.aabb_min[:, 1].astype(f32), lanes, f32),
+        nmin_z=_pallas_replicate(bvh.aabb_min[:, 2].astype(f32), lanes, f32),
+        nmax_x=_pallas_replicate(bvh.aabb_max[:, 0].astype(f32), lanes, f32),
+        nmax_y=_pallas_replicate(bvh.aabb_max[:, 1].astype(f32), lanes, f32),
+        nmax_z=_pallas_replicate(bvh.aabb_max[:, 2].astype(f32), lanes, f32),
+        nmiss=_pallas_replicate(bvh.miss_link.astype(i32), lanes, i32),
+        nstart=_pallas_replicate(bvh.start.astype(i32), lanes, i32),
+        ncount=_pallas_replicate(bvh.tri_count.astype(i32), lanes, i32),
+        t0x=_pallas_replicate(v0[:, 0], lanes, f32),
+        t0y=_pallas_replicate(v0[:, 1], lanes, f32),
+        t0z=_pallas_replicate(v0[:, 2], lanes, f32),
+        e1x=_pallas_replicate(e1[:, 0], lanes, f32),
+        e1y=_pallas_replicate(e1[:, 1], lanes, f32),
+        e1z=_pallas_replicate(e1[:, 2], lanes, f32),
+        e2x=_pallas_replicate(e2[:, 0], lanes, f32),
+        e2y=_pallas_replicate(e2[:, 1], lanes, f32),
+        e2z=_pallas_replicate(e2[:, 2], lanes, f32),
+    )
+    return tables, lanes
 
 
 class TextureTable(NamedTuple):
@@ -118,6 +217,7 @@ class DeviceScene(NamedTuple):
     triangles: TriangleTable
     bvh: BVHTable
     textures: TextureTable
+    pallas_mesh: PallasMeshTables
 
 
 def _mat_tuple(m: np.ndarray) -> Tuple[Tuple[float, ...], ...]:
@@ -219,27 +319,41 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         dpdv=_vec3_from(dpdv),
     )
 
+    # --- Pallas traversal tables ------------------------------------------
+    if scene.bvh is not None and T > 0:
+        pallas_tables, pallas_lanes = _build_pallas_tables(scene.bvh, pos)
+    else:
+        pallas_tables, pallas_lanes = _dummy_pallas_tables(), 0
+
     # --- BVH --------------------------------------------------------------
     if scene.bvh is not None and T > 0:
+        from .bvh import build_octant_layouts
+
         b = scene.bvh
-        # Leaf `start` indexes tri_indices; triangles were reordered by that
-        # permutation, so starts now index the triangle arrays directly.
-        bvh = BVHTable(
-            aabb_min=_vec3_from(b.aabb_min),
-            aabb_max=_vec3_from(b.aabb_max),
-            start=jnp.asarray(b.start, jnp.int32),
-            count=jnp.asarray(b.tri_count, jnp.int32),
-            miss=jnp.asarray(b.miss_link, jnp.int32),
-        )
+        oct_b = build_octant_layouts(b)
         num_nodes = b.num_nodes
         leaf_size = b.leaf_size
+        nodes = np.zeros((8, num_nodes, 16), np.float32)
+        nodes[:, :, 0:3] = oct_b.aabb_min
+        nodes[:, :, 3:6] = oct_b.aabb_max
+        nodes[:, :, 6] = oct_b.miss.astype(np.float32)
+        # Leaf `start` indexes tri_indices; triangles were reordered by that
+        # permutation, so starts now index the triangle arrays directly.
+        nodes[:, :, 7] = oct_b.start.astype(np.float32)
+        nodes[:, :, 8] = oct_b.count.astype(np.float32)
+
+        tris12 = np.zeros((T, 12), np.float32)
+        tris12[:, 0:3] = pos[:, 0]
+        tris12[:, 3:6] = pos[:, 1] - pos[:, 0]
+        tris12[:, 6:9] = pos[:, 2] - pos[:, 0]
+        bvh = BVHTable(
+            nodes=jnp.asarray(nodes.reshape(8 * num_nodes, 16)),
+            tris=jnp.asarray(tris12),
+        )
     else:
         bvh = BVHTable(
-            aabb_min=Vec3.zeros((1,)),
-            aabb_max=Vec3.zeros((1,)),
-            start=jnp.zeros((1,), jnp.int32),
-            count=jnp.zeros((1,), jnp.int32),
-            miss=jnp.ones((1,), jnp.int32),
+            nodes=jnp.zeros((8, 16), jnp.float32),
+            tris=jnp.zeros((1, 12), jnp.float32),
         )
         num_nodes = 0
         leaf_size = 4
@@ -270,5 +384,9 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         tex_wmax=wmax,
         tex_hmax=hmax,
         image_name=scene.state.image_name,
+        pallas_lanes=pallas_lanes,
     )
-    return DeviceScene(materials, triangles, bvh, textures), static
+    return (
+        DeviceScene(materials, triangles, bvh, textures, pallas_tables),
+        static,
+    )
