@@ -60,6 +60,14 @@ class RenderConfig:
     # Pallas hot kernels (intersection / scan) vs pure-jnp reference path.
     use_pallas: bool = False
 
+    # Mesh intersector selection:
+    #   "auto"     -- MXU block-sparse matmul kernel on TPU, threaded BVH on CPU
+    #   "mxu"      -- force the Pallas MXU intersector (interpret-mode on CPU)
+    #   "threaded" -- octant-ordered threaded-BVH gather walk (jnp)
+    #   "brute"    -- all-triangles sweep (the reference's NAIVE_MESH_LOADING
+    #                 oracle); also selected by bvh_acceleration=False
+    mesh_intersector: str = "auto"
+
     # Loop lowering: Python-unroll the bounce loop (better fusion, bigger
     # HLO) vs lax.fori_loop (compact HLO).  None = auto (unroll).
     unroll_bounces: Optional[bool] = None

@@ -374,19 +374,19 @@ def intersect_scene(
 
     if static.has_triangles:
         active = paths.alive
-        if (
-            cfg.use_pallas
-            and cfg.bvh_acceleration
-            and static.pallas_lanes > 0
-        ):
-            from .intersect_pallas import mesh_intersect_pallas
+        mode = cfg.mesh_intersector
+        if not cfg.bvh_acceleration and mode in ("auto", "threaded"):
+            mode = "brute"
+        if mode == "auto":
+            mode = "mxu" if jax.default_backend() != "cpu" else "threaded"
 
-            mh = mesh_intersect_pallas(
-                dev.pallas_mesh,
-                static.pallas_lanes,
-                static.num_nodes,
+        if mode == "mxu":
+            from . import intersect_mxu
+
+            mh = intersect_mxu.mesh_intersect_mxu(
+                dev.mxu_mesh,
                 static.num_triangles,
-                static.leaf_size,
+                static.mxu_padded_tris,
                 ro,
                 rd,
                 active,
@@ -394,7 +394,7 @@ def intersect_scene(
                 cfg.baby_epsilon,
                 interpret=jax.default_backend() == "cpu",
             )
-        elif cfg.bvh_acceleration and static.num_nodes > 0:
+        elif mode == "threaded":
             mh = mesh_intersect_bvh(
                 dev, static, ro, rd, active, t_min, cfg.baby_epsilon,
                 unroll_leaf=cfg.unroll_leaf,
@@ -404,25 +404,49 @@ def intersect_scene(
                 dev, static, ro, rd, active, t_min, cfg.baby_epsilon
             )
         tri_hit = mh.tri >= 0
-        tidx = jnp.clip(mh.tri, 0, static.num_triangles - 1)
-        tris = dev.triangles
         w = 1.0 - mh.u - mh.v
-        n0 = vec.select_gather(tris.n0, tidx)
-        n1 = vec.select_gather(tris.n1, tidx)
-        n2 = vec.select_gather(tris.n2, tidx)
-        tri_normal = vec.normalize(n0 * w + n1 * mh.u + n2 * mh.v)
-        tri_uv_u = tris.uv0u[tidx] * w + tris.uv1u[tidx] * mh.u + tris.uv2u[tidx] * mh.v
-        tri_uv_v = tris.uv0v[tidx] * w + tris.uv1v[tidx] * mh.u + tris.uv2v[tidx] * mh.v
 
+        if mode == "mxu":
+            # Attribute resolve without gathers: one one-hot matmul.
+            from . import intersect_mxu
+
+            at = intersect_mxu.resolve_attributes(
+                dev.mxu_mesh, static.mxu_padded_tris, mh.tri
+            )
+            n0 = Vec3(at[:, 0], at[:, 1], at[:, 2])
+            n1 = Vec3(at[:, 3], at[:, 4], at[:, 5])
+            n2 = Vec3(at[:, 6], at[:, 7], at[:, 8])
+            tri_uv_u = at[:, 9] * w + at[:, 11] * mh.u + at[:, 13] * mh.v
+            tri_uv_v = at[:, 10] * w + at[:, 12] * mh.u + at[:, 14] * mh.v
+            tri_dpdu = Vec3(at[:, 15], at[:, 16], at[:, 17])
+            tri_dpdv = Vec3(at[:, 18], at[:, 19], at[:, 20])
+            tri_mat = at[:, 21].astype(jnp.int32)
+        else:
+            tidx = jnp.clip(mh.tri, 0, static.num_triangles - 1)
+            tris = dev.triangles
+            n0 = vec.select_gather(tris.n0, tidx)
+            n1 = vec.select_gather(tris.n1, tidx)
+            n2 = vec.select_gather(tris.n2, tidx)
+            tri_uv_u = (
+                tris.uv0u[tidx] * w + tris.uv1u[tidx] * mh.u + tris.uv2u[tidx] * mh.v
+            )
+            tri_uv_v = (
+                tris.uv0v[tidx] * w + tris.uv1v[tidx] * mh.u + tris.uv2v[tidx] * mh.v
+            )
+            tri_dpdu = vec.select_gather(tris.dpdu, tidx)
+            tri_dpdv = vec.select_gather(tris.dpdv, tidx)
+            tri_mat = tris.material_id[tidx]
+
+        tri_normal = vec.normalize(n0 * w + n1 * mh.u + n2 * mh.v)
         t_min = jnp.where(tri_hit, mh.t, t_min)
         hit_any = hit_any | tri_hit
         normal = vec.where(tri_hit, tri_normal, normal)
-        mat_id = jnp.where(tri_hit, tris.material_id[tidx], mat_id)
+        mat_id = jnp.where(tri_hit, tri_mat, mat_id)
         is_tri = tri_hit
         uv_u = jnp.where(tri_hit, tri_uv_u, zero)
         uv_v = jnp.where(tri_hit, tri_uv_v, zero)
-        dpdu = vec.where(tri_hit, vec.select_gather(tris.dpdu, tidx), dpdu)
-        dpdv = vec.where(tri_hit, vec.select_gather(tris.dpdv, tidx), dpdv)
+        dpdu = vec.where(tri_hit, tri_dpdu, dpdu)
+        dpdv = vec.where(tri_hit, tri_dpdv, dpdv)
 
     # Flip normal to face the ray origin (src/pathtrace.cu:429-431).
     flip = vec.dot(rd, normal) > 0.0

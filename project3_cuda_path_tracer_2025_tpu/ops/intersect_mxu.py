@@ -1,0 +1,364 @@
+"""MXU ray-triangle intersector: Moller-Trumbore as block-sparse matmuls.
+
+Why: measured on this TPU, XLA/Pallas per-lane gathers run at ~0.12 Gelem/s
+(a serial hardware path), so any traversal that chases per-ray pointers --
+the reference's stacked BVH walk (``src/intersections.cu:148-234``) or a
+threaded/skip-link rewrite -- is dispatch- and gather-bound regardless of
+step count.  The systolic array, by contrast, delivers tens of TFLOP/s on
+dense tiles.  So intersection is reformulated as dense linear algebra:
+
+Each Moller-Trumbore scalar is *bilinear* in per-ray and per-triangle
+features (triple-product identities; same epsilon semantics as
+``intersectTriangle``, ``src/intersections.cu:112-145``):
+
+    det   =  d . (e2 x e1)
+    u*det = (o x d) . e2   -  d . (e2 x v0)
+    v*det = -(o x d) . e1  -  d . (v0 x e1)
+    t*det =  o . (e1 x e2) - v0 . (e1 x e2)
+
+With the 10-vector ray feature R = [d, o x d, o, 1] all four quantities for
+a whole (ray tile x triangle tile) block are ONE [Rt, 10] @ [10, 4*Tt]
+matmul.  A Pallas kernel streams triangle tiles (BVH-leaf order, so tiles
+are spatially tight) against ray tiles, keeps the running closest hit
+(t, u, v, tri) in the output block, and skips a tile's matmul entirely when
+no ray in the block can hit the tile's bounding box closer than its current
+best (block-sparsity = the BVH's culling, at tile granularity).
+
+Numerical note: features are built about the scene centroid (rays and
+triangles shifted identically) to keep |o x d| small; results match the
+sequential MT formulation to f32 roundoff.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.vec import Vec3
+from .intersect import MeshHit
+
+import os
+
+# Tunable via env for hardware sweeps; defaults chosen on v5e.
+RAY_TILE = int(os.environ.get("PTT_RAY_TILE", "512"))  # rays per block
+TRI_TILE = int(os.environ.get("PTT_TRI_TILE", "512"))  # tris per block
+USE_TILE_CULL = os.environ.get("PTT_TILE_CULL", "1") == "1"
+NUM_F = 16  # padded ray-feature dim (10 used)
+
+
+class MXUMeshTables(NamedTuple):
+    """Dense per-triangle feature + attribute tables (pytree of arrays;
+    the static sizes live in ``SceneStatic.num_triangles`` /
+    ``SceneStatic.mxu_padded_tris``)."""
+
+    features: jnp.ndarray  # [NUM_F, 4*Tp] f32: columns (det|u|v|t) per tri
+    tile_aabb: jnp.ndarray  # [C, 8] f32 per tri-tile bounds (xyz min, xyz max, pad)
+    # attribute resolve tables (leaf order), one row per triangle:
+    attrs: jnp.ndarray  # [Tp, 24] f32: n0 n1 n2 (9) uv0 uv1 uv2 (6) dpdu dpdv (6) mat (1) pad
+    center: jnp.ndarray  # [3] scene recentering offset
+
+
+def build_mxu_tables(
+    pos: np.ndarray,  # [T, 3, 3] leaf-ordered triangle vertices
+    nrm: np.ndarray,  # [T, 3, 3]
+    uv: np.ndarray,  # [T, 3, 2]
+    dpdu: np.ndarray,  # [T, 3]
+    dpdv: np.ndarray,  # [T, 3]
+    mat: np.ndarray,  # [T]
+) -> MXUMeshTables:
+    t = pos.shape[0]
+    tp = ((t + TRI_TILE - 1) // TRI_TILE) * TRI_TILE
+    center = pos.reshape(-1, 3).mean(axis=0).astype(np.float32)
+
+    v0 = pos[:, 0].astype(np.float64) - center
+    e1 = (pos[:, 1] - pos[:, 0]).astype(np.float64)
+    e2 = (pos[:, 2] - pos[:, 0]).astype(np.float64)
+
+    a = np.cross(e2, e1)  # det row block
+    e2xv0 = np.cross(e2, v0)
+    v0xe1 = np.cross(v0, e1)
+    e1xe2 = np.cross(e1, e2)
+    v0_dot = np.einsum("ij,ij->i", v0, e1xe2)
+
+    # Column layout per tri tile c (so the kernel slices, never reshapes --
+    # Mosaic cannot split the lane dimension):
+    #   [c*4K + 0*K + j] = det   of tile-local tri j   (K = TRI_TILE)
+    #   [c*4K + 1*K + j] = u_num
+    #   [c*4K + 2*K + j] = v_num
+    #   [c*4K + 3*K + j] = t_num
+    feat = np.zeros((NUM_F, 4 * tp), np.float32)
+    k = TRI_TILE
+    gidx = np.arange(t)
+    tile_of = gidx // k
+    j = gidx % k
+    det_c = tile_of * 4 * k + j
+    u_c = det_c + k
+    v_c = det_c + 2 * k
+    t_c = det_c + 3 * k
+    # det = d . (e2 x e1)
+    feat[0:3, det_c] = a.T
+    # u_num = (o x d) . e2 - d . (e2 x v0)
+    feat[0:3, u_c] = -e2xv0.T
+    feat[3:6, u_c] = e2.T
+    # v_num = -(o x d) . e1 - d . (v0 x e1)
+    feat[0:3, v_c] = -v0xe1.T
+    feat[3:6, v_c] = -e1.T
+    # t_num = o . (e1 x e2) - v0 . (e1 x e2)
+    feat[6:9, t_c] = e1xe2.T
+    feat[9, t_c] = -v0_dot
+
+    # Padded (fake) triangles: all-zero features -> det == 0 -> never hit.
+
+    # Per-tile AABBs over member triangle vertices, in the same recentered
+    # frame the kernel's ray origins use.
+    c = tp // TRI_TILE
+    tile_aabb = np.zeros((c, 8), np.float32)
+    shifted = pos.astype(np.float64) - center
+    for i in range(c):
+        lo = i * TRI_TILE
+        hi = min(t, lo + TRI_TILE)
+        if lo >= t:
+            # empty padding tile: inverted bounds never hit
+            tile_aabb[i, 0:3] = 1e30
+            tile_aabb[i, 3:6] = -1e30
+            continue
+        tv = shifted[lo:hi].reshape(-1, 3)
+        tile_aabb[i, 0:3] = tv.min(axis=0)
+        tile_aabb[i, 3:6] = tv.max(axis=0)
+
+    attrs = np.zeros((tp, 24), np.float32)
+    attrs[:t, 0:3] = nrm[:, 0]
+    attrs[:t, 3:6] = nrm[:, 1]
+    attrs[:t, 6:9] = nrm[:, 2]
+    attrs[:t, 9:11] = uv[:, 0]
+    attrs[:t, 11:13] = uv[:, 1]
+    attrs[:t, 13:15] = uv[:, 2]
+    attrs[:t, 15:18] = dpdu
+    attrs[:t, 18:21] = dpdv
+    attrs[:t, 21] = mat.astype(np.float32)
+
+    return MXUMeshTables(
+        features=jnp.asarray(feat),
+        tile_aabb=jnp.asarray(tile_aabb),
+        attrs=jnp.asarray(attrs),
+        center=jnp.asarray(center),
+    )
+
+
+def dummy_mxu_tables() -> MXUMeshTables:
+    return MXUMeshTables(
+        features=jnp.zeros((NUM_F, 4 * TRI_TILE), jnp.float32),
+        tile_aabb=jnp.full((1, 8), 1e30, jnp.float32).at[0, 3:6].set(-1e30),
+        attrs=jnp.zeros((TRI_TILE, 24), jnp.float32),
+        center=jnp.zeros((3,), jnp.float32),
+    )
+
+
+def _intersect_kernel(
+    baby_eps: float,
+    num_tri_tiles: int,
+    # refs
+    rayf_ref,  # [RAY_TILE, NUM_F] ray features (o already recentered)
+    tlim_ref,  # [RAY_TILE, 1]
+    feat_ref,  # [NUM_F, 4*Tp] FULL feature table (VMEM-resident)
+    aabb_ref,  # [C, 8] full tile-bounds table
+    out_t_ref,  # [RAY_TILE, 1]
+    out_tri_ref,  # [RAY_TILE, 1] i32
+    out_u_ref,
+    out_v_ref,
+):
+    rayf = rayf_ref[:]
+    d = rayf[:, 0:3]
+    o = rayf[:, 6:9]
+    inv = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
+
+    def tile_body(c, carry):
+        best_t, best_tri, best_u, best_v = carry
+
+        # --- tile cull: slab test against this tri tile's AABB ------------
+        row = aabb_ref[pl.ds(c, 1), :]  # [1, 8]
+        t1 = (row[:, 0:3] - o) * inv
+        t2 = (row[:, 3:6] - o) * inv
+        tlo = jnp.max(jnp.minimum(t1, t2), axis=1, keepdims=True)
+        thi = jnp.min(jnp.maximum(t1, t2), axis=1, keepdims=True)
+        any_hit = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
+
+        def live(carry):
+            best_t, best_tri, best_u, best_v = carry
+            cols = pl.ds(pl.multiple_of(c * (4 * TRI_TILE), 4 * TRI_TILE), 4 * TRI_TILE)
+            quad = jnp.dot(
+                rayf, feat_ref[:, cols], preferred_element_type=jnp.float32
+            )  # [R, 4*T]: four contiguous T-wide blocks (see build_mxu_tables)
+            det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+            u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+            v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+            t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+
+            det_ok = jnp.abs(det) >= baby_eps
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+            u = u_num * inv_det
+            v = v_num * inv_det
+            tt = t_num * inv_det
+            hit = (
+                det_ok
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt > baby_eps)
+            )
+            # Sentinel must compare >= any t_limit (callers pass FLT_MAX).
+            ttm = jnp.where(hit & (tt < best_t), tt, jnp.inf)
+            row_min = jnp.min(ttm, axis=1, keepdims=True)  # [R, 1]
+            better = row_min < best_t
+            # lowest lane achieving the min (min-reductions only; no argmin)
+            lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
+            kbest = jnp.min(lane_masked, axis=1, keepdims=True)  # [R, 1]
+            sel = lane == kbest
+            pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+            return (
+                jnp.where(better, row_min, best_t),
+                jnp.where(better, c * TRI_TILE + kbest, best_tri),
+                jnp.where(better, pick(u), best_u),
+                jnp.where(better, pick(v), best_v),
+            )
+
+        if not USE_TILE_CULL:
+            return live(carry)
+        return jax.lax.cond(any_hit, live, lambda cr: cr, carry)
+
+    shape = (RAY_TILE, 1)
+    init = (
+        tlim_ref[:],
+        jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    best_t, best_tri, best_u, best_v = jax.lax.fori_loop(
+        0, num_tri_tiles, tile_body, init
+    )
+    out_t_ref[:] = best_t
+    out_tri_ref[:] = best_tri
+    out_u_ref[:] = best_u
+    out_v_ref[:] = best_v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_tris", "padded_tris", "baby_eps", "interpret")
+)
+def _run(
+    features,
+    tile_aabb,
+    center,
+    ox, oy, oz, dx, dy, dz, active, t_limit,
+    num_tris: int,
+    padded_tris: int,
+    baby_eps: float,
+    interpret: bool = False,
+):
+    n = ox.shape[0]
+    n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    pad = lambda x, fill=0.0: jnp.pad(x, (0, n_pad - n), constant_values=fill)
+
+    osx = pad(ox) - center[0]
+    osy = pad(oy) - center[1]
+    osz = pad(oz) - center[2]
+    dxp, dyp, dzp = pad(dx), pad(dy), pad(dz)
+
+    cxdx = osy * dzp - osz * dyp
+    cxdy = osz * dxp - osx * dzp
+    cxdz = osx * dyp - osy * dxp
+    one = jnp.where(pad(active.astype(jnp.float32)) > 0, 1.0, 0.0)
+    zero = jnp.zeros_like(one)
+    # Inactive rays: zero features -> det = 0 -> no hits.
+    rayf = jnp.stack(
+        [
+            dxp * one, dyp * one, dzp * one,
+            cxdx * one, cxdy * one, cxdz * one,
+            osx * one, osy * one, osz * one,
+            one,
+            zero, zero, zero, zero, zero, zero,
+        ],
+        axis=1,
+    )  # [n_pad, NUM_F]
+
+    tlim = pad(t_limit, 3.4e38)[:, None]
+
+    num_ray_tiles = n_pad // RAY_TILE
+    num_tri_tiles = padded_tris // TRI_TILE
+
+    kern = functools.partial(_intersect_kernel, baby_eps, num_tri_tiles)
+    grid = (num_ray_tiles,)
+
+    out_t, out_tri, out_u, out_v = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, NUM_F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # full tables resident in VMEM for the whole kernel
+            pl.BlockSpec(features.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tile_aabb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(rayf, tlim, features, tile_aabb)
+
+    tri = out_tri[:n, 0]
+    tri = jnp.where(tri >= num_tris, -1, tri)  # padded fake tris never hit, but be safe
+    return out_t[:n, 0], tri, out_u[:n, 0], out_v[:n, 0]
+
+
+def mesh_intersect_mxu(
+    tables: MXUMeshTables,
+    num_tris: int,
+    padded_tris: int,
+    ro: Vec3,
+    rd: Vec3,
+    active: jnp.ndarray,
+    t_limit: jnp.ndarray,
+    baby_eps: float,
+    interpret: bool = False,
+) -> MeshHit:
+    t, tri, u, v = _run(
+        tables.features,
+        tables.tile_aabb,
+        tables.center,
+        ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, t_limit,
+        num_tris=num_tris,
+        padded_tris=padded_tris,
+        baby_eps=baby_eps,
+        interpret=interpret,
+    )
+    return MeshHit(t=t, tri=tri, u=u, v=v)
+
+
+def resolve_attributes(tables: MXUMeshTables, padded_tris: int, tri: jnp.ndarray):
+    """Per-ray triangle attributes via one one-hot matmul (no gathers).
+
+    Returns [N, 24] attr rows (zero rows for tri == -1).
+    cost: 2*N*Tp*24 flops on the MXU -- cheap vs a 0.12 Gelem/s gather.
+    """
+    tp = padded_tris
+    safe = jnp.clip(tri, 0, tp - 1)
+    onehot = jax.nn.one_hot(jnp.where(tri >= 0, safe, tp), tp, dtype=jnp.float32)
+    # note: tri == -1 maps past the table -> one_hot gives an all-zero row
+    return jnp.dot(onehot, tables.attrs, preferred_element_type=jnp.float32)

@@ -59,6 +59,8 @@ class SceneStatic:
     # Lane width of the Pallas traversal tables; 0 = mesh too large for
     # VMEM-resident traversal (jnp path used instead).
     pallas_lanes: int = 0
+    # Triangle count padded to the MXU intersector's tile size (0 = no mesh).
+    mxu_padded_tris: int = 0
 
     @property
     def has_triangles(self) -> bool:
@@ -218,6 +220,7 @@ class DeviceScene(NamedTuple):
     bvh: BVHTable
     textures: TextureTable
     pallas_mesh: PallasMeshTables
+    mxu_mesh: "object"  # ops.intersect_mxu.MXUMeshTables (lazy import)
 
 
 def _mat_tuple(m: np.ndarray) -> Tuple[Tuple[float, ...], ...]:
@@ -325,6 +328,16 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
     else:
         pallas_tables, pallas_lanes = _dummy_pallas_tables(), 0
 
+    # --- MXU intersector tables ---------------------------------------------
+    from ..ops import intersect_mxu as _mxu  # lazy: avoids import cycle
+
+    if T > 0:
+        mxu_tables = _mxu.build_mxu_tables(pos, nrm, uv, dpdu, dpdv, mat)
+        mxu_padded = ((T + _mxu.TRI_TILE - 1) // _mxu.TRI_TILE) * _mxu.TRI_TILE
+    else:
+        mxu_tables = _mxu.dummy_mxu_tables()
+        mxu_padded = 0
+
     # --- BVH --------------------------------------------------------------
     if scene.bvh is not None and T > 0:
         from .bvh import build_octant_layouts
@@ -385,8 +398,11 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         tex_hmax=hmax,
         image_name=scene.state.image_name,
         pallas_lanes=pallas_lanes,
+        mxu_padded_tris=mxu_padded,
     )
     return (
-        DeviceScene(materials, triangles, bvh, textures, pallas_tables),
+        DeviceScene(
+            materials, triangles, bvh, textures, pallas_tables, mxu_tables
+        ),
         static,
     )

@@ -1,0 +1,129 @@
+"""MXU (block-sparse matmul) intersector vs the brute-force oracle, plus
+end-to-end render equality (interpret mode on CPU; compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+from project3_cuda_path_tracer_2025_tpu.ops.intersect import mesh_intersect_brute
+from project3_cuda_path_tracer_2025_tpu.ops.intersect_mxu import (
+    build_mxu_tables,
+    mesh_intersect_mxu,
+    resolve_attributes,
+    TRI_TILE,
+)
+from project3_cuda_path_tracer_2025_tpu.scene.device import build_device_scene
+from project3_cuda_path_tracer_2025_tpu.utils.vec import Vec3
+
+from tests.test_intersect import _random_mesh_scene
+
+CFG = RenderConfig()
+
+
+def _rays(rng, n):
+    origins = rng.normal(size=(n, 3))
+    origins = 3.0 * origins / np.linalg.norm(origins, axis=1, keepdims=True)
+    dirs = rng.uniform(-0.8, 0.8, (n, 3)) - origins
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ro = Vec3(*[jnp.asarray(origins[:, i], jnp.float32) for i in range(3)])
+    rd = Vec3(*[jnp.asarray(dirs[:, i], jnp.float32) for i in range(3)])
+    return ro, rd
+
+
+def test_mxu_matches_brute_force():
+    rng = np.random.default_rng(21)
+    scene = _random_mesh_scene(rng, n_tris=150)
+    dev, static = build_device_scene(scene)
+    assert static.mxu_padded_tris == ((150 + TRI_TILE - 1) // TRI_TILE) * TRI_TILE
+
+    n = 700
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.05)
+    lim = jnp.full((n,), 3.4e38, jnp.float32)
+
+    ref = mesh_intersect_brute(dev, static, ro, rd, active, lim, CFG.baby_epsilon)
+    out = mesh_intersect_mxu(
+        dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+        ro, rd, active, lim, CFG.baby_epsilon, interpret=True,
+    )
+
+    np.testing.assert_array_equal(np.asarray(out.tri), np.asarray(ref.tri))
+    hit = np.asarray(ref.tri) >= 0
+    assert hit.sum() > 100
+    np.testing.assert_allclose(
+        np.asarray(out.t)[hit], np.asarray(ref.t)[hit], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.u)[hit], np.asarray(ref.u)[hit], atol=2e-5
+    )
+    inact = ~np.asarray(active)
+    assert (np.asarray(out.tri)[inact] == -1).all()
+
+
+def test_mxu_attribute_resolve():
+    rng = np.random.default_rng(22)
+    scene = _random_mesh_scene(rng, n_tris=100)
+    dev, static = build_device_scene(scene)
+    tri = jnp.asarray([-1, 0, 57, 99], jnp.int32)
+    at = np.asarray(resolve_attributes(dev.mxu_mesh, static.mxu_padded_tris, tri))
+    assert (at[0] == 0).all()  # miss row zero
+    order = scene.bvh.tri_indices
+    mats = scene.tri_material_ids[order]
+    np.testing.assert_array_equal(at[1:, 21].astype(int), mats[[0, 57, 99]])
+
+
+def test_mxu_render_matches_threaded(tmp_path):
+    """Full-iteration image agreement between intersector backends."""
+    import json
+
+    obj = tmp_path / "m.obj"
+    rng = np.random.default_rng(5)
+    lines = []
+    nv = 0
+    for i in range(60):
+        p = rng.uniform(-1, 1, 3)
+        for dv in np.eye(3) * 0.3:
+            q = p + dv
+            lines.append(f"v {q[0]:.5f} {q[1]:.5f} {q[2]:.5f}")
+        lines.append(f"f {nv+1} {nv+2} {nv+3}")
+        nv += 3
+    obj.write_text("\n".join(lines) + "\n")
+    scene_file = tmp_path / "s.json"
+    json.dump(
+        {
+            "Materials": {
+                "light": {"TYPE": "Emitting", "RGB": [1, 1, 1], "EMITTANCE": 5.0},
+                "w": {"TYPE": "Diffuse", "RGB": [0.8, 0.7, 0.6]},
+            },
+            "Camera": {
+                "RES": [24, 24], "FOVY": 35.0, "ITERATIONS": 2, "DEPTH": 3,
+                "FILE": "m", "EYE": [0, 0, 5], "LOOKAT": [0, 0, 0],
+                "UP": [0, 1, 0], "APERTURE": 0.0,
+            },
+            "Objects": [
+                {"TYPE": "obj", "PATH": "m.obj", "MATERIAL": "w",
+                 "TRANS": [0, 0, 0], "ROTAT": [0, 0, 0], "SCALE": [1, 1, 1]},
+                {"TYPE": "cube", "MATERIAL": "light",
+                 "TRANS": [0, 3, 0], "ROTAT": [0, 0, 0], "SCALE": [3, 0.2, 3]},
+            ],
+        },
+        scene_file.open("w"),
+    )
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+    from project3_cuda_path_tracer_2025_tpu.scene import load_scene
+
+    scene = load_scene(str(scene_file))
+
+    def film(mode):
+        r = Renderer(scene, RenderConfig(mesh_intersector=mode))
+        for _ in range(2):
+            r.step()
+        return r.image()
+
+    a = film("threaded")
+    b = film("mxu")
+    # identical hits; f32 roundoff differs between formulations
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+    assert a.mean() > 0.001
