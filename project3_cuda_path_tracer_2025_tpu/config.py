@@ -40,6 +40,10 @@ class RenderConfig:
     # material sort, mirroring the reference architecture).
     integrator: str = "megakernel"
 
+    # Shader: "full" (kernShadeMaterialProper + scatterRay) or "fake" (the
+    # reference's shadeFakeMaterial demo, src/pathtrace.cu:459-502).
+    shader: str = "full"
+
     # Samples traced per launch (batched spp amortizes dispatch overhead; the
     # reference always traces 1 spp per frame).
     spp_per_launch: int = 1

@@ -127,6 +127,20 @@ class Renderer:
         jax.block_until_ready(self.film.x)
         self.stats.add((time.perf_counter() - t0) * 1e3)
         self._alive_counts = np.asarray(alive)
+        if self.cfg.debug_nan_checks:
+            self._check_finite()
+
+    def _check_finite(self) -> None:
+        """Debug-config runtime checking (the reference's analogue is the
+        ERRORCHECK sync-after-every-launch, src/pathtrace.cu:26-49)."""
+        for name, arr in (("film.r", self.film.x), ("film.g", self.film.y),
+                          ("film.b", self.film.z)):
+            bad = int(jnp.sum(~jnp.isfinite(arr)))
+            if bad:
+                raise FloatingPointError(
+                    f"non-finite values in {name} after iteration "
+                    f"{self.iteration}: {bad} lanes"
+                )
 
     def _step_many_fn(self, k: int):
         """Jit a k-iteration loop (amortizes per-dispatch latency; the

@@ -45,9 +45,11 @@ from .intersect import MeshHit
 
 import os
 
-# Tunable via env for hardware sweeps; defaults chosen on v5e.
-RAY_TILE = int(os.environ.get("PTT_RAY_TILE", "512"))  # rays per block
-TRI_TILE = int(os.environ.get("PTT_TRI_TILE", "512"))  # tris per block
+# Tunable via env for hardware sweeps; defaults = best measured on v5e
+# (sweep over {512/512, 1024/256, 256/1024} x cull on/off; narrower ray
+# blocks make the tile cull worth its cond even for incoherent bounces).
+RAY_TILE = int(os.environ.get("PTT_RAY_TILE", "256"))  # rays per block
+TRI_TILE = int(os.environ.get("PTT_TRI_TILE", "1024"))  # tris per block
 USE_TILE_CULL = os.environ.get("PTT_TILE_CULL", "1") == "1"
 NUM_F = 16  # padded ray-feature dim (10 used)
 

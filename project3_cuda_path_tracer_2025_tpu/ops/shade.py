@@ -33,6 +33,41 @@ from . import bsdf, texture
 from .rays import Intersections, PathState
 
 
+def shade_fake(
+    dev: DeviceScene,
+    static: SceneStatic,
+    paths: PathState,
+    isect: Intersections,
+    uniforms: jnp.ndarray,
+    cfg: RenderConfig,
+) -> PathState:
+    """The reference's demo shader (``shadeFakeMaterial``,
+    ``src/pathtrace.cu:459-502``): rasterizer-style pseudo-lighting with
+    multiplicative noise; no BSDF, no scattering, no bounce decrement.
+    Selected with ``RenderConfig(shader="fake")`` -- a debugging aid, exactly
+    as in the reference."""
+    mats = dev.materials
+    hit = isect.t > 0.0
+    mid = jnp.clip(isect.material_id, 0, static.num_materials - 1)
+    mat_color = vec.select_gather(mats.color, mid)
+    emittance = mats.emittance[mid]
+
+    light_term = vec.dot(isect.normal, Vec3.from_scalar(0.0, 1.0, 0.0))
+    lit = mat_color * (light_term * 0.3) + mat_color * ((1.0 - isect.t * 0.02) * 0.7)
+    noise = uniforms[0]
+    emissive = emittance > 0.0
+    shaded = vec.where(emissive, mat_color * emittance, lit * noise)
+
+    color = vec.where(hit, paths.color * shaded, Vec3.zeros(hit.shape))
+    return PathState(
+        origin=paths.origin,
+        direction=paths.direction,
+        color=color,
+        pixel=paths.pixel,
+        bounces=paths.bounces,
+    )
+
+
 def shade(
     dev: DeviceScene,
     static: SceneStatic,
@@ -41,6 +76,8 @@ def shade(
     uniforms: jnp.ndarray,  # [4, N] U[0,1)
     cfg: RenderConfig,
 ) -> PathState:
+    if cfg.shader == "fake":
+        return shade_fake(dev, static, paths, isect, uniforms, cfg)
     mats = dev.materials
     n = paths.pixel.shape[0]
 
