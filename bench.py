@@ -29,7 +29,7 @@ def main():
     from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
     from project3_cuda_path_tracer_2025_tpu.models import Renderer
 
-    spp_per_launch = int(os.environ.get("BENCH_BATCH", "16"))
+    spp_per_launch = int(os.environ.get("BENCH_BATCH", "64"))
     warmup = int(os.environ.get("BENCH_WARMUP", "2"))
     reps = int(os.environ.get("BENCH_REPS", "4"))
 

@@ -64,6 +64,11 @@ class RenderConfig:
     # Pallas hot kernels (intersection / scan) vs pure-jnp reference path.
     use_pallas: bool = False
 
+    # Fused Pallas bounce kernel (intersect+shade in one program; applies to
+    # scenes with no triangles/textures): "auto" (on TPU), "on" (everywhere,
+    # interpreted on CPU -- slow, tests only), "off".
+    fused_bounce: str = "auto"
+
     # Mesh intersector selection:
     #   "auto"     -- MXU block-sparse matmul kernel on TPU, threaded BVH on CPU
     #   "mxu"      -- force the Pallas MXU intersector (interpret-mode on CPU)

@@ -50,11 +50,25 @@ def megakernel_iteration(
         cam, static.width, static.height, depth, cam_u
     )
 
+    from ..ops import fused
+
+    use_fused = cfg.fused_bounce == "on" or (
+        cfg.fused_bounce == "auto"
+        and fused.fused_applicable(static, cfg)
+        and jax.default_backend() != "cpu"
+    )
+    fused_interpret = jax.default_backend() == "cpu"
+
     def bounce(d, carry):
         paths, alive_counts = carry
-        isect = intersect_scene(dev, static, paths, cfg)
         su = prng.uniforms(prng.stage_key(ikey, d, 1), n, 3)
-        paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
+        if use_fused:
+            paths = fused.fused_prim_bounce(
+                static, cfg, paths, su, interpret=fused_interpret
+            )
+        else:
+            isect = intersect_scene(dev, static, paths, cfg)
+            paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
         alive_counts = alive_counts.at[d].set(
             jnp.sum(paths.alive.astype(jnp.int32))
         )

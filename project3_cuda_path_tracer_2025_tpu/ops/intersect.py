@@ -36,7 +36,7 @@ from ..utils import vec
 from ..utils.vec import Vec3
 from .rays import Intersections, PathState
 
-FLT_MAX = jnp.float32(3.402823466e38)
+FLT_MAX = 3.402823466e38  # Python float: safe to close over in Pallas kernels
 
 
 def box_intersection(
@@ -347,13 +347,13 @@ def intersect_scene(
     """Nearest-hit over analytic prims + mesh, with the reference's final
     normal flip toward the ray (``src/pathtrace.cu:423-446``)."""
     ro, rd = paths.origin, paths.direction
-    n = ro.x.shape[0]
-    zero = jnp.zeros((n,), jnp.float32)
+    shape = ro.x.shape  # shape-agnostic: [N] at top level, [R, 128] in-kernel
+    zero = jnp.zeros(shape, jnp.float32)
 
-    t_min = jnp.full((n,), FLT_MAX)
-    hit_any = jnp.zeros((n,), bool)
+    t_min = jnp.full(shape, FLT_MAX)
+    hit_any = jnp.zeros(shape, bool)
     normal = Vec3(zero, zero, zero)
-    mat_id = jnp.full((n,), -1, jnp.int32)
+    mat_id = jnp.full(shape, -1, jnp.int32)
 
     for g in static.geoms:
         if g.gtype == int(GeomType.CUBE):
@@ -366,7 +366,7 @@ def intersect_scene(
         normal = vec.where(closer, nrm, normal)
         mat_id = jnp.where(closer, g.material_id, mat_id)
 
-    is_tri = jnp.zeros((n,), bool)
+    is_tri = jnp.zeros(shape, bool)
     uv_u = zero
     uv_v = zero
     dpdu = Vec3(zero, zero, zero)

@@ -131,6 +131,42 @@ def shade(
         sn = vec.where(vec.dot(sn, ng) < 0.0, -sn, sn)
         shading_normal = vec.where(has_bump, sn, ng)
 
+    return scatter_compose(
+        cfg,
+        paths,
+        isect,
+        shading_normal,
+        albedo,
+        emittance,
+        has_refl,
+        has_refr,
+        ior,
+        roughness,
+        metallic,
+        uniforms,
+    )
+
+
+def scatter_compose(
+    cfg: RenderConfig,
+    paths: PathState,
+    isect: Intersections,
+    shading_normal: Vec3,
+    albedo: Vec3,
+    emittance: jnp.ndarray,
+    has_refl: jnp.ndarray,
+    has_refr: jnp.ndarray,
+    ior: jnp.ndarray,
+    roughness: jnp.ndarray,
+    metallic: jnp.ndarray,
+    uniforms,  # indexable: uniforms[0..2], each shaped like paths fields
+) -> PathState:
+    """scatterRay + terminal-state composition with material parameters
+    already resolved per lane.  Shape-agnostic (runs unchanged inside the
+    fused Pallas bounce kernel on block-shaped arrays)."""
+    was_alive = paths.bounces > 0
+    hit = isect.t > 0.0
+
     # ---- scatter: evaluate all lobes, select by material flags ------------
     wo_ray = paths.direction  # reference passes the raw ray direction as wo
     normal = shading_normal

@@ -41,9 +41,23 @@ class GeomConst(NamedTuple):
     inv_transpose: Tuple[Tuple[float, ...], ...]
 
 
+class MaterialConst(NamedTuple):
+    """One material as static constants (for the fused bounce kernel, where
+    the whole table constant-folds into select chains)."""
+
+    color: Tuple[float, float, float]
+    emittance: float
+    has_reflective: float
+    has_refractive: float
+    ior: float
+    roughness: float
+    metallic: float
+
+
 @dataclass(frozen=True)
 class SceneStatic:
     geoms: Tuple[GeomConst, ...]
+    material_consts: Tuple[MaterialConst, ...]
     width: int
     height: int
     trace_depth: int
@@ -383,8 +397,22 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         height=jnp.asarray(wh[:, 1], jnp.int32),
     )
 
+    material_consts = tuple(
+        MaterialConst(
+            color=tuple(float(x) for x in m.color),
+            emittance=float(m.emittance),
+            has_reflective=float(m.has_reflective),
+            has_refractive=float(m.has_refractive),
+            ior=float(m.index_of_refraction),
+            roughness=float(m.roughness),
+            metallic=float(m.metallic),
+        )
+        for m in ms
+    )
+
     static = SceneStatic(
         geoms=geoms,
+        material_consts=material_consts,
         width=int(scene.state.camera.resolution[0]),
         height=int(scene.state.camera.resolution[1]),
         trace_depth=int(scene.state.trace_depth),
