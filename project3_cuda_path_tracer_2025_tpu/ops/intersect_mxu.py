@@ -180,6 +180,9 @@ def _intersect_kernel(
     o = rayf[:, 6:9]
     inv = 1.0 / jnp.where(d == 0.0, 1e-20, d)
     lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
+    # Inactive rays have all-zero features (feature 9 is the constant 1);
+    # a fully-dead block (common in late bounces) skips the tri loop.
+    block_live = jnp.any(rayf[:, 9] > 0.0)
 
     def tile_body(c, carry):
         best_t, best_tri, best_u, best_v = carry
@@ -243,8 +246,11 @@ def _intersect_kernel(
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
     )
-    best_t, best_tri, best_u, best_v = jax.lax.fori_loop(
-        0, num_tri_tiles, tile_body, init
+    best_t, best_tri, best_u, best_v = jax.lax.cond(
+        block_live,
+        lambda cr: jax.lax.fori_loop(0, num_tri_tiles, tile_body, cr),
+        lambda cr: cr,
+        init,
     )
     out_t_ref[:] = best_t
     out_tri_ref[:] = best_tri
