@@ -147,6 +147,12 @@ def triangle_intersection(
     return hit, t, u, v
 
 
+def _mxu_fits_vmem(static: SceneStatic, budget_bytes: int = 8 * 1024 * 1024) -> bool:
+    """The MXU intersector keeps the whole [16, 4*Tp] feature table in VMEM;
+    cap it well under the ~16MB/core so ray/quad tiles still fit."""
+    return static.mxu_padded_tris * 16 * 4 * 4 <= budget_bytes
+
+
 class MeshHit(NamedTuple):
     t: jnp.ndarray  # best triangle t (FLT_MAX when none)
     tri: jnp.ndarray  # i32 best triangle index (-1 = none)
@@ -379,6 +385,10 @@ def intersect_scene(
             mode = "brute"
         if mode == "auto":
             mode = "mxu" if jax.default_backend() != "cpu" else "threaded"
+        if mode == "mxu" and not _mxu_fits_vmem(static):
+            # Feature table would not fit VMEM (observed device fault on
+            # v5e at ~20MB); fall back to the gather walk.
+            mode = "threaded"
 
         if mode == "mxu":
             from . import intersect_mxu
