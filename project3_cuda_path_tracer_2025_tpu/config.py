@@ -61,9 +61,6 @@ class RenderConfig:
     # Use the native C++ BVH builder when available (falls back to NumPy).
     native_bvh: bool = True
 
-    # Pallas hot kernels (intersection / scan) vs pure-jnp reference path.
-    use_pallas: bool = False
-
     # Fused Pallas bounce kernel (intersect+shade in one program; applies to
     # scenes with no triangles/textures): "auto" (on TPU), "on" (everywhere,
     # interpreted on CPU -- slow, tests only), "off".

@@ -1,4 +1,15 @@
-from . import bsdf, camera, compaction, film, intersect, shade, texture
+from . import (
+    bsdf,
+    camera,
+    compaction,
+    film,
+    fused,
+    intersect,
+    intersect_mxu,
+    scan,
+    shade,
+    texture,
+)
 from .rays import Intersections, PathState
 
 __all__ = [
@@ -6,7 +17,10 @@ __all__ = [
     "camera",
     "compaction",
     "film",
+    "fused",
     "intersect",
+    "intersect_mxu",
+    "scan",
     "shade",
     "texture",
     "Intersections",

@@ -70,9 +70,6 @@ class SceneStatic:
     tex_wmax: int
     tex_hmax: int
     image_name: str
-    # Lane width of the Pallas traversal tables; 0 = mesh too large for
-    # VMEM-resident traversal (jnp path used instead).
-    pallas_lanes: int = 0
     # Triangle count padded to the MXU intersector's tile size (0 = no mesh).
     mxu_padded_tris: int = 0
 
@@ -135,91 +132,6 @@ class BVHTable(NamedTuple):
     tris: jnp.ndarray  # [T, 12] f32
 
 
-class PallasMeshTables(NamedTuple):
-    """Lane-indexed, sublane-replicated tables for the Pallas BVH traversal
-    kernel (``ops.intersect_pallas``).  Every field is [8, L]: the Mosaic
-    ``dynamic_gather`` lowering requires table.shape == index.shape, so the
-    node/triangle tables share one lane-padded width L and ray blocks are
-    8*L rays.  Triangles are stored as v0 + the two Moller-Trumbore edges."""
-
-    nmin_x: jnp.ndarray
-    nmin_y: jnp.ndarray
-    nmin_z: jnp.ndarray
-    nmax_x: jnp.ndarray
-    nmax_y: jnp.ndarray
-    nmax_z: jnp.ndarray
-    nmiss: jnp.ndarray  # i32
-    nstart: jnp.ndarray  # i32 (-1 internal)
-    ncount: jnp.ndarray  # i32
-    t0x: jnp.ndarray
-    t0y: jnp.ndarray
-    t0z: jnp.ndarray
-    e1x: jnp.ndarray
-    e1y: jnp.ndarray
-    e1z: jnp.ndarray
-    e2x: jnp.ndarray
-    e2y: jnp.ndarray
-    e2z: jnp.ndarray
-
-
-_PALLAS_SUBLANES = 8
-_PALLAS_LANE_PAD = 128
-# Conservative VMEM ceiling for tables + ray block (v5e ~16MB usable).
-_PALLAS_MAX_LANES = 12032
-
-
-def _pallas_replicate(row: np.ndarray, lanes: int, dtype) -> jnp.ndarray:
-    out = np.zeros((_PALLAS_SUBLANES, lanes), dtype)
-    out[:, : row.shape[0]] = row[None, :]
-    return jnp.asarray(out)
-
-
-def _dummy_pallas_tables() -> PallasMeshTables:
-    z = lambda dt: jnp.zeros((_PALLAS_SUBLANES, _PALLAS_LANE_PAD), dt)
-    f = z(jnp.float32)
-    i = z(jnp.int32)
-    return PallasMeshTables(f, f, f, f, f, f, i, i, i, f, f, f, f, f, f, f, f, f)
-
-
-def _build_pallas_tables(bvh, pos: np.ndarray) -> tuple[PallasMeshTables, int]:
-    """``bvh``: scene.bvh.BVH; ``pos``: leaf-ordered [T, 3, 3] positions.
-    Returns (tables, lanes); lanes == 0 when the mesh exceeds the VMEM
-    budget (callers then use the jnp traversal)."""
-    m = bvh.num_nodes
-    t = pos.shape[0]
-    lanes = max(
-        _PALLAS_LANE_PAD,
-        ((max(m, t) + _PALLAS_LANE_PAD - 1) // _PALLAS_LANE_PAD) * _PALLAS_LANE_PAD,
-    )
-    if lanes > _PALLAS_MAX_LANES:
-        return _dummy_pallas_tables(), 0
-    f32, i32 = np.float32, np.int32
-    v0 = pos[:, 0].astype(f32)
-    e1 = (pos[:, 1] - pos[:, 0]).astype(f32)
-    e2 = (pos[:, 2] - pos[:, 0]).astype(f32)
-    tables = PallasMeshTables(
-        nmin_x=_pallas_replicate(bvh.aabb_min[:, 0].astype(f32), lanes, f32),
-        nmin_y=_pallas_replicate(bvh.aabb_min[:, 1].astype(f32), lanes, f32),
-        nmin_z=_pallas_replicate(bvh.aabb_min[:, 2].astype(f32), lanes, f32),
-        nmax_x=_pallas_replicate(bvh.aabb_max[:, 0].astype(f32), lanes, f32),
-        nmax_y=_pallas_replicate(bvh.aabb_max[:, 1].astype(f32), lanes, f32),
-        nmax_z=_pallas_replicate(bvh.aabb_max[:, 2].astype(f32), lanes, f32),
-        nmiss=_pallas_replicate(bvh.miss_link.astype(i32), lanes, i32),
-        nstart=_pallas_replicate(bvh.start.astype(i32), lanes, i32),
-        ncount=_pallas_replicate(bvh.tri_count.astype(i32), lanes, i32),
-        t0x=_pallas_replicate(v0[:, 0], lanes, f32),
-        t0y=_pallas_replicate(v0[:, 1], lanes, f32),
-        t0z=_pallas_replicate(v0[:, 2], lanes, f32),
-        e1x=_pallas_replicate(e1[:, 0], lanes, f32),
-        e1y=_pallas_replicate(e1[:, 1], lanes, f32),
-        e1z=_pallas_replicate(e1[:, 2], lanes, f32),
-        e2x=_pallas_replicate(e2[:, 0], lanes, f32),
-        e2y=_pallas_replicate(e2[:, 1], lanes, f32),
-        e2z=_pallas_replicate(e2[:, 2], lanes, f32),
-    )
-    return tables, lanes
-
-
 class TextureTable(NamedTuple):
     r: jnp.ndarray  # flat [NT * Hmax * Wmax] f32
     g: jnp.ndarray
@@ -233,7 +145,6 @@ class DeviceScene(NamedTuple):
     triangles: TriangleTable
     bvh: BVHTable
     textures: TextureTable
-    pallas_mesh: PallasMeshTables
     mxu_mesh: "object"  # ops.intersect_mxu.MXUMeshTables (lazy import)
 
 
@@ -336,12 +247,6 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         dpdv=_vec3_from(dpdv),
     )
 
-    # --- Pallas traversal tables ------------------------------------------
-    if scene.bvh is not None and T > 0:
-        pallas_tables, pallas_lanes = _build_pallas_tables(scene.bvh, pos)
-    else:
-        pallas_tables, pallas_lanes = _dummy_pallas_tables(), 0
-
     # --- MXU intersector tables ---------------------------------------------
     from ..ops import intersect_mxu as _mxu  # lazy: avoids import cycle
 
@@ -425,12 +330,9 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         tex_wmax=wmax,
         tex_hmax=hmax,
         image_name=scene.state.image_name,
-        pallas_lanes=pallas_lanes,
         mxu_padded_tris=mxu_padded,
     )
     return (
-        DeviceScene(
-            materials, triangles, bvh, textures, pallas_tables, mxu_tables
-        ),
+        DeviceScene(materials, triangles, bvh, textures, mxu_tables),
         static,
     )
