@@ -102,6 +102,7 @@ def _bounce_kernel(
         rough,
         metal,
         (u0[:], u1[:], u2[:]),
+        lobes=shade_ops.lobes_present(static),
     )
     o_ox[:] = out.origin.x
     o_oy[:] = out.origin.y

@@ -33,6 +33,18 @@ from . import bsdf, texture
 from .rays import Intersections, PathState
 
 
+def lobes_present(static: SceneStatic) -> tuple:
+    """Static per-scene lobe presence (glass, mirror, trans, micro): the
+    material set is compile-time constant, so absent lobe families are
+    skipped entirely at trace time."""
+    ms = static.material_consts
+    glass = any(m.has_reflective > 0 and m.has_refractive > 0 for m in ms)
+    mirror = any(m.has_reflective > 0 for m in ms)
+    trans = any(m.has_refractive > 0 for m in ms)
+    micro = any(m.roughness >= 0 and m.metallic >= 0 for m in ms)
+    return (glass, mirror, trans, micro)
+
+
 def shade_fake(
     dev: DeviceScene,
     static: SceneStatic,
@@ -144,6 +156,7 @@ def shade(
         roughness,
         metallic,
         uniforms,
+        lobes=lobes_present(static),
     )
 
 
@@ -160,48 +173,67 @@ def scatter_compose(
     roughness: jnp.ndarray,
     metallic: jnp.ndarray,
     uniforms,  # indexable: uniforms[0..2], each shaped like paths fields
+    lobes: tuple = (True, True, True, True),  # (glass, mirror, trans, micro)
 ) -> PathState:
     """scatterRay + terminal-state composition with material parameters
     already resolved per lane.  Shape-agnostic (runs unchanged inside the
-    fused Pallas bounce kernel on block-shaped arrays)."""
+    fused Pallas bounce kernel on block-shaped arrays).
+
+    ``lobes`` statically disables lobe families no material in the scene
+    uses (the scene's material set is compile-time constant): an all-diffuse
+    scene then pays for the diffuse lobe only.  Semantics are unchanged --
+    a disabled lobe's selection mask would have been all-False anyway.
+    """
+    lobe_glass, lobe_mirror, lobe_trans, lobe_micro = lobes
     was_alive = paths.bounces > 0
     hit = isect.t > 0.0
 
-    # ---- scatter: evaluate all lobes, select by material flags ------------
+    # ---- scatter: evaluate present lobes, select by material flags --------
     wo_ray = paths.direction  # reference passes the raw ray direction as wo
     normal = shading_normal
     u_choice = uniforms[0]
     xi0 = uniforms[1]
     xi1 = uniforms[2]
 
-    is_glass = (has_refr > 0.0) & (has_refl > 0.0)
-    is_mirror = (has_refl > 0.0) & ~is_glass
-    is_trans = (has_refr > 0.0) & ~is_glass & ~is_mirror
-    is_micro = (roughness >= 0.0) & (metallic >= 0.0) & ~is_glass & ~is_mirror & ~is_trans
-    is_diffuse = ~(is_glass | is_mirror | is_trans | is_micro)
+    false = jnp.zeros(hit.shape, bool)
+    is_glass = (has_refr > 0.0) & (has_refl > 0.0) if lobe_glass else false
+    is_mirror = ((has_refl > 0.0) & ~is_glass) if lobe_mirror else false
+    is_trans = (
+        (has_refr > 0.0) & ~is_glass & ~is_mirror if lobe_trans else false
+    )
+    is_micro = (
+        (roughness >= 0.0) & (metallic >= 0.0)
+        & ~is_glass & ~is_mirror & ~is_trans
+        if lobe_micro
+        else false
+    )
 
-    glass = bsdf.sample_f_glass(
-        albedo, normal, wo_ray, ior, u_choice, cfg.baby_epsilon
-    )
-    mirror = bsdf.sample_f_specular_reflection(albedo, normal, wo_ray)
-    trans, _ = bsdf.sample_f_specular_transmission(
-        albedo, normal, wo_ray, ior, cfg.baby_epsilon
-    )
-    wo_world = -vec.normalize(wo_ray)
-    micro = bsdf.sample_f_cook_torrance(
-        albedo, normal, wo_world, roughness, metallic, u_choice, xi0, xi1
-    )
     diffuse = bsdf.sample_f_diffuse(albedo, normal, xi0, xi1)
 
-    # New direction (normalized, as scatterRay does for every branch).
+    # New direction (normalized, as scatterRay does for every branch) and
+    # throughput multiplier per branch.
     wi = diffuse.wi
-    wi = vec.where(is_micro, micro.wi, wi)
-    wi = vec.where(is_trans, trans.wi, wi)
-    wi = vec.where(is_mirror, mirror.wi, wi)
-    wi = vec.where(is_glass, glass.wi, wi)
+    if lobe_micro:
+        wo_world = -vec.normalize(wo_ray)
+        micro = bsdf.sample_f_cook_torrance(
+            albedo, normal, wo_world, roughness, metallic, u_choice, xi0, xi1
+        )
+        wi = vec.where(is_micro, micro.wi, wi)
+    if lobe_trans:
+        trans, _ = bsdf.sample_f_specular_transmission(
+            albedo, normal, wo_ray, ior, cfg.baby_epsilon
+        )
+        wi = vec.where(is_trans, trans.wi, wi)
+    if lobe_mirror:
+        mirror = bsdf.sample_f_specular_reflection(albedo, normal, wo_ray)
+        wi = vec.where(is_mirror, mirror.wi, wi)
+    if lobe_glass:
+        glass = bsdf.sample_f_glass(
+            albedo, normal, wo_ray, ior, u_choice, cfg.baby_epsilon
+        )
+        wi = vec.where(is_glass, glass.wi, wi)
     new_dir = vec.normalize(wi)
 
-    # Throughput multiplier per branch.
     cos_theta = jnp.maximum(0.0, vec.dot(normal, new_dir))
     # pdf == 0 can occur when the cosine sample lands exactly on the
     # hemisphere rim (u01 can return 0); the reference divides regardless
@@ -212,16 +244,20 @@ def scatter_compose(
         diffuse.f * (cos_theta / jnp.where(diffuse_pdf_ok, diffuse.pdf, 1.0)),
         Vec3.zeros(cos_theta.shape),
     )
-    micro_mult = vec.where(
-        micro.pdf > 0.0,
-        micro.f * (cos_theta / jnp.where(micro.pdf > 0.0, micro.pdf, 1.0)),
-        Vec3.full(cos_theta.shape, 1.0, 1.0, 1.0),  # pdf<=0 leaves color as-is
-    )
     mult = diffuse_mult
-    mult = vec.where(is_micro, micro_mult, mult)
-    mult = vec.where(is_trans, trans.f, mult)
-    mult = vec.where(is_mirror, mirror.f, mult)
-    mult = vec.where(is_glass, glass.f, mult)
+    if lobe_micro:
+        micro_mult = vec.where(
+            micro.pdf > 0.0,
+            micro.f * (cos_theta / jnp.where(micro.pdf > 0.0, micro.pdf, 1.0)),
+            Vec3.full(cos_theta.shape, 1.0, 1.0, 1.0),  # pdf<=0: color as-is
+        )
+        mult = vec.where(is_micro, micro_mult, mult)
+    if lobe_trans:
+        mult = vec.where(is_trans, trans.f, mult)
+    if lobe_mirror:
+        mult = vec.where(is_mirror, mirror.f, mult)
+    if lobe_glass:
+        mult = vec.where(is_glass, glass.f, mult)
 
     # New origin: epsilon offset differs per branch (interactions.cu:458-533).
     intersect_pt = paths.origin + paths.direction * isect.t
