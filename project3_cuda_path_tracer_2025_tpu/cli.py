@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, help="write a .npz checkpoint here at exit")
     p.add_argument("--resume", default=None, help="resume from a .npz checkpoint")
     p.add_argument("--checkpoint-every", type=int, default=0, help="checkpoint every N spp")
+    p.add_argument(
+        "--preview-every",
+        type=int,
+        default=0,
+        help="write a preview PNG every N spp (the reference shows a live window)",
+    )
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--quiet", action="store_true")
     return p
@@ -121,6 +127,14 @@ def main(argv=None) -> int:
                 )
             if args.checkpoint_every and it % args.checkpoint_every == 0 and args.checkpoint:
                 r.checkpoint(args.checkpoint)
+            if args.preview_every and it % args.preview_every == 0 and it < total:
+                import shutil
+
+                prev = r.save(out_dir=args.out)
+                target = os.path.join(args.out, "preview.png")
+                shutil.move(prev, target)
+                if not args.quiet:
+                    print(f"preview -> {target}")
     except KeyboardInterrupt:
         print(f"\ninterrupted at iteration {r.iteration}; saving partial render")
 
