@@ -73,17 +73,56 @@ class Renderer:
         self._alive_counts = np.zeros(self.static.trace_depth, np.int64)
         self._refresh_camera()
 
-        iter_fn = (
-            wavefront_iteration
-            if cfg.integrator == "wavefront"
-            else megakernel_iteration
-        )
+        self._build_step()
+
+    def _build_step(self) -> None:
+        """(Re)build the jitted per-iteration step.  When the whole-iteration
+        fused kernel applies, the camera is baked statically into it, so this
+        re-runs on camera changes (the reference re-inits everything then
+        too, src/main.cpp:449-453)."""
+        from ..ops import fused
+        from ..utils import prng as prng_mod
+
+        cfg_ = self.cfg
         dev_ = self.dev
         static_ = self.static
-        cfg_ = self.cfg
+        iter_fn = (
+            wavefront_iteration
+            if cfg_.integrator == "wavefront"
+            else megakernel_iteration
+        )
 
-        def _step(cam: CameraState, film: Vec3, iteration, key):
-            return iter_fn(dev_, static_, cfg_, cam, film, iteration, key)
+        on_cpu = jax.default_backend() == "cpu"
+        use_fused_iter = cfg_.integrator == "megakernel" and (
+            cfg_.fused_bounce == "on"
+            or (
+                cfg_.fused_bounce == "auto"
+                and fused.fused_applicable(static_, cfg_)
+                and not on_cpu
+            )
+        )
+
+        if use_fused_iter:
+            cam_tuple = fused.camera_statics(self._cam_state)
+            n = static_.pixel_count
+            depth = static_.trace_depth
+
+            def _step(cam: CameraState, film: Vec3, iteration, key):
+                ik = prng_mod.iteration_key(key, iteration)
+                cam_u = prng_mod.uniforms(prng_mod.stage_key(ik, 0, 0), n, 4)
+                planes = [cam_u[0], cam_u[1], cam_u[2], cam_u[3]]
+                for d in range(depth):
+                    su = prng_mod.uniforms(prng_mod.stage_key(ik, d, 1), n, 3)
+                    planes += [su[0], su[1], su[2]]
+                return fused.fused_prim_iteration(
+                    static_, cfg_, cam_tuple, film, tuple(planes),
+                    interpret=on_cpu,
+                )
+
+        else:
+
+            def _step(cam: CameraState, film: Vec3, iteration, key):
+                return iter_fn(dev_, static_, cfg_, cam, film, iteration, key)
 
         # Donate the film: it is threaded through every iteration in place.
         self._step = jax.jit(_step, donate_argnums=(1,))
@@ -106,6 +145,7 @@ class Renderer:
         if look_at is not None:
             self.orbit.look_at = np.asarray(look_at, np.float64)
         self._refresh_camera()
+        self._build_step()  # fused path bakes the camera statically
         self.reset()
 
     def reset(self) -> None:

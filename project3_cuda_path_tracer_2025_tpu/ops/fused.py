@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..scene.device import SceneStatic
+from ..utils import vec
 from ..utils.vec import Vec3
 from . import shade as shade_ops
 from .intersect import intersect_scene
@@ -174,3 +175,160 @@ def fused_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
         and static.num_textures == 0
         and cfg.shader == "full"
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-iteration fusion: raygen + depth x (intersect + shade) + film
+# accumulate in ONE Pallas program.  Depth-profiling showed the per-bounce
+# kernel leaves ~2 ms/frame of fixed cost (raygen, film, per-dispatch
+# overhead inside the spp fori_loop); this removes all of it.  The camera is
+# baked as static floats (the reference also rebuilds everything on camera
+# change, src/main.cpp:449-453).
+# ---------------------------------------------------------------------------
+
+
+def _iteration_kernel(
+    static: SceneStatic,
+    cfg: RenderConfig,
+    cam: tuple,  # static floats, see camera_statics()
+    n_real: int,
+    # refs: film in (3), uniforms [4 + 3*depth] planes
+    fr_in, fg_in, fb_in,
+    *rest,
+):
+    depth = static.trace_depth
+    n_u = 4 + 3 * depth
+    u = rest[:n_u]
+    fr_out, fg_out, fb_out, alive_out = rest[n_u:]
+
+    (posx, posy, posz, vx, vy, vz, ux, uy, uz, rx, ry, rz,
+     plx, ply, aperture, focal) = cam
+    width = static.width
+
+    i = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 128), 1)
+    idx = (i * BLOCK_ROWS + row) * 128 + lane
+    in_range = idx < n_real
+
+    # --- raygen (generateRayFromCamera parity; see ops/camera.py) ---------
+    x = (idx % width).astype(jnp.float32)
+    y = (idx // width).astype(jnp.float32)
+    sx = plx * (x + u[0][:] - width * 0.5)
+    sy = ply * (y + u[1][:] - static.height * 0.5)
+    pp = Vec3(vx - rx * sx - ux * sy, vy - ry * sx - uy * sy, vz - rz * sx - uz * sy)
+    rdir = vec.normalize(pp)
+    position = Vec3.from_scalar(posx, posy, posz)
+    focal_pt = position + rdir * focal
+    r = aperture * jnp.sqrt(u[2][:])
+    theta = 6.283185307179586 * u[3][:]
+    origin = Vec3(posx + r * jnp.cos(theta), posy + r * jnp.sin(theta),
+                  jnp.full(idx.shape, posz, jnp.float32))
+    direction = vec.normalize(focal_pt - origin)
+
+    one = jnp.ones(idx.shape, jnp.float32)
+    paths = PathState(
+        origin=origin,
+        direction=direction,
+        color=Vec3(one, one, one),
+        pixel=idx,
+        bounces=jnp.where(in_range, depth, 0).astype(jnp.int32),
+    )
+
+    lobes = shade_ops.lobes_present(static)
+    counts = []
+    for d in range(depth):
+        isect = intersect_scene(None, static, paths, cfg)
+        mid = jnp.clip(isect.material_id, 0, static.num_materials - 1)
+        albedo, emitt, refl, refr, ior, rough, metal = _const_material_params(
+            static, mid
+        )
+        paths = shade_ops.scatter_compose(
+            cfg, paths, isect, isect.normal,
+            albedo, emitt, refl, refr, ior, rough, metal,
+            (u[4 + 3 * d][:], u[5 + 3 * d][:], u[6 + 3 * d][:]),
+            lobes=lobes,
+        )
+        counts.append(jnp.sum((paths.bounces > 0).astype(jnp.int32)))
+
+    # --- film accumulate (finalGather parity; padded lanes masked) --------
+    mask = in_range.astype(jnp.float32)
+    fr_out[:] = fr_in[:] + paths.color.x * mask
+    fg_out[:] = fg_in[:] + paths.color.y * mask
+    fb_out[:] = fb_in[:] + paths.color.z * mask
+    # (8, 128) tile to satisfy the min sublane tiling; data in row 0 only.
+    # Built with iota masks -- Mosaic has no scatter.
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lanes8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    block_counts = jnp.zeros((8, 128), jnp.int32)
+    for d, cnt in enumerate(counts):
+        block_counts = block_counts + jnp.where(
+            (rows8 == 0) & (lanes8 == d), cnt, 0
+        )
+    alive_out[:] = block_counts
+
+
+def camera_statics(cam_state) -> tuple:
+    """CameraState (dynamic arrays) -> hashable static float tuple."""
+    import numpy as np
+
+    f = lambda a: float(np.asarray(a))
+    return (
+        f(cam_state.position[0]), f(cam_state.position[1]), f(cam_state.position[2]),
+        f(cam_state.view[0]), f(cam_state.view[1]), f(cam_state.view[2]),
+        f(cam_state.up[0]), f(cam_state.up[1]), f(cam_state.up[2]),
+        f(cam_state.right[0]), f(cam_state.right[1]), f(cam_state.right[2]),
+        f(cam_state.pixel_length[0]), f(cam_state.pixel_length[1]),
+        f(cam_state.aperture), f(cam_state.focal_dist),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("static", "cfg", "cam", "interpret")
+)
+def fused_prim_iteration(
+    static: SceneStatic,
+    cfg: RenderConfig,
+    cam: tuple,
+    film,  # Vec3 of [N]
+    uniform_planes,  # tuple of [N] arrays: 4 camera + 3*depth shade planes
+    interpret: bool = False,
+):
+    """One full spp iteration in a single Pallas program.
+
+    Returns (film', alive_counts[depth])."""
+    n = film.x.shape[0]
+    block = BLOCK_ROWS * 128
+    n_pad = ((n + block - 1) // block) * block
+
+    def prep(x):
+        return jnp.pad(x, (0, n_pad - n)).reshape(-1, 128)
+
+    ins = [prep(film.x), prep(film.y), prep(film.z)] + [
+        prep(p) for p in uniform_planes
+    ]
+    rows = n_pad // 128
+    grid = (rows // BLOCK_ROWS,)
+    bspec = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_iteration_kernel, static, cfg, cam, n)
+    n_blocks = grid[0]
+    fr, fg, fb, alive = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bspec] * len(ins),
+        out_specs=(bspec, bspec, bspec, cspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(*ins)
+
+    unp = lambda a: a.reshape(-1)[:n]
+    film_out = Vec3(unp(fr), unp(fg), unp(fb))
+    alive_counts = jnp.sum(alive, axis=0)[: static.trace_depth]
+    return film_out, alive_counts
