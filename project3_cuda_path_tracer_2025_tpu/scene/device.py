@@ -148,8 +148,18 @@ class DeviceScene(NamedTuple):
     mxu_mesh: "object"  # ops.intersect_mxu.MXUMeshTables (lazy import)
 
 
+def _snap(x: float) -> float:
+    """Snap rotation float-dust to exact constants so the trace-time
+    constant folding in ``utils.vec`` triggers (cos(90 deg) in float64 is
+    6.1e-17, not 0; the ~1e-16 relative change is far below f32 resolution)."""
+    for target in (0.0, 1.0, -1.0):
+        if abs(x - target) < 1e-12:
+            return target
+    return x
+
+
 def _mat_tuple(m: np.ndarray) -> Tuple[Tuple[float, ...], ...]:
-    return tuple(tuple(float(x) for x in row) for row in np.asarray(m))
+    return tuple(tuple(_snap(float(x)) for x in row) for row in np.asarray(m))
 
 
 def _vec3_from(arr: np.ndarray) -> Vec3:

@@ -166,6 +166,34 @@ def max_component(v: Vec3) -> jax.Array:
     return jnp.maximum(v.x, jnp.maximum(v.y, v.z))
 
 
+def _row_dot(coeffs, terms, bias=None):
+    """sum(c * t) with TRACE-TIME folding of Python-float constants:
+    0.0-coefficient terms vanish, 1.0 passes through, a 0.0 bias is dropped.
+
+    Scene transforms are baked as Python floats (see ``scene.device``), and
+    axis-aligned instances -- most of a cornell box -- have mostly-zero
+    rotation rows, so this removes the majority of the per-primitive FLOPs.
+    Exactness: adding a +0.0 term cannot change a finite result, so folded
+    and unfolded paths agree bitwise on finite inputs.
+    """
+    acc = None
+    for c, t in zip(coeffs, terms):
+        if isinstance(c, (int, float)):
+            if c == 0.0:
+                continue
+            term = t if c == 1.0 else (-t if c == -1.0 else c * t)
+        else:
+            term = c * t
+        acc = term if acc is None else acc + term
+    if bias is not None and not (isinstance(bias, (int, float)) and bias == 0.0):
+        acc = bias if acc is None else acc + bias
+    if acc is None:
+        import jax.numpy as _jnp
+
+        acc = _jnp.zeros_like(terms[0])
+    return acc
+
+
 def transform_point(m, p: Vec3) -> Vec3:
     """Apply a 4x4 row-major matrix (numpy constants or jnp [4,4]) to a point.
 
@@ -173,17 +201,19 @@ def transform_point(m, p: Vec3) -> Vec3:
     ``m`` is indexed ``m[row][col]`` in the mathematical convention
     (column-vector on the right), i.e. m @ [x y z 1]^T.
     """
+    xyz = (p.x, p.y, p.z)
     return Vec3(
-        m[0][0] * p.x + m[0][1] * p.y + m[0][2] * p.z + m[0][3],
-        m[1][0] * p.x + m[1][1] * p.y + m[1][2] * p.z + m[1][3],
-        m[2][0] * p.x + m[2][1] * p.y + m[2][2] * p.z + m[2][3],
+        _row_dot(m[0][:3], xyz, m[0][3]),
+        _row_dot(m[1][:3], xyz, m[1][3]),
+        _row_dot(m[2][:3], xyz, m[2][3]),
     )
 
 
 def transform_vector(m, v: Vec3) -> Vec3:
     """Apply a 4x4 matrix to a direction (w = 0): multiplyMV(m, vec4(v, 0))."""
+    xyz = (v.x, v.y, v.z)
     return Vec3(
-        m[0][0] * v.x + m[0][1] * v.y + m[0][2] * v.z,
-        m[1][0] * v.x + m[1][1] * v.y + m[1][2] * v.z,
-        m[2][0] * v.x + m[2][1] * v.y + m[2][2] * v.z,
+        _row_dot(m[0][:3], xyz),
+        _row_dot(m[1][:3], xyz),
+        _row_dot(m[2][:3], xyz),
     )
