@@ -56,9 +56,11 @@ def box_intersection(
         o = (qo.x, qo.y, qo.z)[axis]
         d = (qd.x, qd.y, qd.z)[axis]
         # Reference divides with no zero guard (src/intersections.cu:21-24);
-        # IEEE inf/nan comparison semantics below match CUDA.
-        t1 = (-0.5 - o) / d
-        t2 = (0.5 - o) / d
+        # IEEE inf/nan comparison semantics below match CUDA.  One reciprocal
+        # replaces two divisions (VPU divides are the hot spot here).
+        inv = 1.0 / d
+        t1 = (-0.5 - o) * inv
+        t2 = (0.5 - o) * inv
         ta = jnp.minimum(t1, t2)
         tb = jnp.maximum(t1, t2)
         sign = jnp.where(t2 < t1, 1.0, -1.0)
