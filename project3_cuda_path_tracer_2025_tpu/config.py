@@ -74,6 +74,16 @@ class RenderConfig:
     #                 oracle); also selected by bvh_acceleration=False
     mesh_intersector: str = "auto"
 
+    # Per-bounce ray-coherence sorting for the MXU mesh intersector:
+    #   "auto" -- on whenever the MXU intersector runs on TPU
+    #   "on" / "off" -- force (A/B toggle; results are bit-identical either
+    #                   way -- the sort is a pure permutation around the
+    #                   kernel -- only speed changes)
+    # Sort key = morton(origin, ray_sort_bits bits/axis) high, direction
+    # octant low; dead rays sort to the end so trailing blocks skip whole.
+    ray_sorting: str = "auto"
+    ray_sort_bits: int = 5
+
     # Loop lowering: Python-unroll the bounce loop (better fusion, bigger
     # HLO) vs lax.fori_loop (compact HLO).  None = auto (unroll).
     unroll_bounces: Optional[bool] = None

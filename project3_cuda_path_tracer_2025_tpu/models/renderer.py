@@ -26,7 +26,7 @@ from ..scene import load_scene
 from ..scene.camera import CameraState, OrbitState, camera_state, derive_render_camera
 from ..scene.device import build_device_scene
 from ..scene.types import HostScene
-from ..utils import image_io
+from ..utils import image_io, timers
 from ..utils.timers import FrameStats
 from ..utils.vec import Vec3
 from .megakernel import megakernel_iteration
@@ -164,7 +164,11 @@ class Renderer:
             jnp.int32(self.iteration),
             self._base_key,
         )
-        jax.block_until_ready(self.film.x)
+        # block_until_ready does not synchronize on the tunneled TPU backend;
+        # device_sync fetches one scalar (a ~22 ms roundtrip on TPU) so the
+        # wall time is honest.  Unbatched ms/frame therefore includes the
+        # tunnel roundtrip -- that IS the interactive latency.
+        timers.device_sync(self.film.x)
         self.stats.add((time.perf_counter() - t0) * 1e3)
         self._alive_counts = np.asarray(alive)
         if self.cfg.debug_nan_checks:
@@ -210,7 +214,7 @@ class Renderer:
         self.film, alive = fn(
             self._cam_state, self.film, jnp.int32(self.iteration + 1), self._base_key
         )
-        jax.block_until_ready(self.film.x)
+        timers.device_sync(self.film.x)
         dt_ms = (time.perf_counter() - t0) * 1e3 / k
         for _ in range(k):
             self.stats.add(dt_ms)

@@ -23,6 +23,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..utils import vec
+from . import scan as scan_ops
 from .rays import Intersections, PathState
 
 
@@ -51,13 +52,14 @@ def _apply_permutation_isect(isect: Intersections, perm: jnp.ndarray) -> Interse
 
 def front_pack_permutation(alive: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stable partition permutation: live lanes first (original order), dead
-    lanes after (original order).  Returns (perm, live_count)."""
+    lanes after (original order).  Returns (perm, live_count).
+
+    Built on ``ops.scan.compact_indices`` -- the MXU triangular-matmul scan
+    on TPU, the jnp oracle on CPU/small N (the same layering as the
+    reference, where ``stream_compaction/`` is the scan library and
+    ``thrust::stable_partition`` the consumer)."""
     n = alive.shape[0]
-    flags = alive.astype(jnp.int32)
-    live_rank = jnp.cumsum(flags) - flags  # exclusive scan
-    live_count = jnp.sum(flags)
-    dead_rank = jnp.cumsum(1 - flags) - (1 - flags)
-    dest = jnp.where(alive, live_rank, live_count + dead_rank)
+    dest, live_count = scan_ops.compact_indices(alive)
     perm = jnp.zeros((n,), jnp.int32).at[dest].set(jnp.arange(n, dtype=jnp.int32))
     return perm, live_count
 

@@ -395,6 +395,9 @@ def intersect_scene(
         if mode == "mxu":
             from . import intersect_mxu
 
+            sort_rays = cfg.ray_sorting == "on" or (
+                cfg.ray_sorting == "auto" and jax.default_backend() != "cpu"
+            )
             mh = intersect_mxu.mesh_intersect_mxu(
                 dev.mxu_mesh,
                 static.num_triangles,
@@ -404,6 +407,9 @@ def intersect_scene(
                 active,
                 t_min,
                 cfg.baby_epsilon,
+                sort_rays=sort_rays,
+                sort_bits=cfg.ray_sort_bits,
+                mesh_bounds=static.mesh_bounds,
                 interpret=jax.default_backend() == "cpu",
             )
         elif mode == "threaded":

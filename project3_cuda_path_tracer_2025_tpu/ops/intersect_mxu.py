@@ -162,6 +162,52 @@ def dummy_mxu_tables() -> MXUMeshTables:
     )
 
 
+def _morton_spread3(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits of v to every 3rd bit (standard 3D morton expansion)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _coherence_keys(
+    osx, osy, osz, dxp, dyp, dzp, live, lo, hi, pos_bits: int
+) -> jnp.ndarray:
+    """Ray-coherence sort key: morton(origin) high bits, direction octant low.
+
+    Bounce rays land on surfaces anywhere in the scene with scattered
+    directions; 256-ray blocks in pixel order are therefore spatially wild
+    and the tile AABB cull never fires (each block's union frustum covers
+    everything).  Sorting by this key groups rays that start near each other
+    and head the same way, so a block's collective footprint touches few
+    triangle tiles and the cull skips the rest.  Dead rays get the max key
+    and collect in all-dead trailing blocks, which skip entirely.
+
+    origins are recentered (kernel frame); ``lo``/``hi`` is the mesh AABB in
+    that same frame.
+    """
+    span = jnp.maximum(hi - lo, 1e-6)
+    scale = (1 << pos_bits) - 1
+
+    def q(o, axis):
+        t = jnp.clip((o - lo[axis]) / span[axis], 0.0, 1.0)
+        return (t * scale).astype(jnp.int32)
+
+    code = (
+        _morton_spread3(q(osx, 0))
+        | (_morton_spread3(q(osy, 1)) << 1)
+        | (_morton_spread3(q(osz, 2)) << 2)
+    )
+    octant = (
+        (dxp < 0).astype(jnp.int32)
+        + 2 * (dyp < 0).astype(jnp.int32)
+        + 4 * (dzp < 0).astype(jnp.int32)
+    )
+    key = (code << 3) | octant  # <= 3*pos_bits + 3 bits (pos_bits <= 9)
+    return jnp.where(live > 0.0, key, jnp.int32(1 << 30))
+
+
 def _intersect_kernel(
     baby_eps: float,
     num_tri_tiles: int,
@@ -259,7 +305,11 @@ def _intersect_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_tris", "padded_tris", "baby_eps", "interpret")
+    jax.jit,
+    static_argnames=(
+        "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
+        "mesh_bounds", "interpret",
+    ),
 )
 def _run(
     features,
@@ -269,6 +319,9 @@ def _run(
     num_tris: int,
     padded_tris: int,
     baby_eps: float,
+    sort_rays: bool = False,
+    sort_bits: int = 5,
+    mesh_bounds: tuple = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0),
     interpret: bool = False,
 ):
     n = ox.shape[0]
@@ -298,6 +351,18 @@ def _run(
     )  # [n_pad, NUM_F]
 
     tlim = pad(t_limit, 3.4e38)[:, None]
+
+    if sort_rays:
+        # Per-bounce ray-coherence sort (see _coherence_keys).  Pure
+        # permutation: the per-ray result is independent of block grouping
+        # (tile visit order and in-tile tie-breaks are ray-local), so the
+        # unsorted scatter-back below is bit-identical to sort off.
+        lo = jnp.asarray(mesh_bounds[:3], jnp.float32) - center
+        hi = jnp.asarray(mesh_bounds[3:], jnp.float32) - center
+        key = _coherence_keys(osx, osy, osz, dxp, dyp, dzp, one, lo, hi, sort_bits)
+        perm = jnp.argsort(key)
+        rayf = rayf[perm]
+        tlim = tlim[perm]
 
     num_ray_tiles = n_pad // RAY_TILE
     num_tri_tiles = padded_tris // TRI_TILE
@@ -330,6 +395,13 @@ def _run(
         interpret=interpret,
     )(rayf, tlim, features, tile_aabb)
 
+    if sort_rays:
+        # Scatter results back to original ray order: res[perm[i]] = out[i].
+        unsort = lambda o: jnp.zeros_like(o).at[perm].set(o)
+        out_t, out_tri, out_u, out_v = (
+            unsort(out_t), unsort(out_tri), unsort(out_u), unsort(out_v)
+        )
+
     tri = out_tri[:n, 0]
     tri = jnp.where(tri >= num_tris, -1, tri)  # padded fake tris never hit, but be safe
     return out_t[:n, 0], tri, out_u[:n, 0], out_v[:n, 0]
@@ -344,6 +416,9 @@ def mesh_intersect_mxu(
     active: jnp.ndarray,
     t_limit: jnp.ndarray,
     baby_eps: float,
+    sort_rays: bool = False,
+    sort_bits: int = 5,
+    mesh_bounds: tuple = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0),
     interpret: bool = False,
 ) -> MeshHit:
     t, tri, u, v = _run(
@@ -354,6 +429,9 @@ def mesh_intersect_mxu(
         num_tris=num_tris,
         padded_tris=padded_tris,
         baby_eps=baby_eps,
+        sort_rays=sort_rays,
+        sort_bits=sort_bits,
+        mesh_bounds=mesh_bounds,
         interpret=interpret,
     )
     return MeshHit(t=t, tri=tri, u=u, v=v)

@@ -90,9 +90,26 @@ def _scan_pallas_f32(x: jnp.ndarray, inclusive: bool) -> jnp.ndarray:
     return out.reshape(-1)[:n]
 
 
+# The f32 accumulation is exact only while every prefix sum stays <= 2^24
+# (f32 integer-exactness bound).  For 0/1 flags that means N <= 2^24 = 16.7M
+# elements -- a 4096x4096 film.  Larger scans must use the jnp path.
+_F32_EXACT_N = 1 << 24
+
+
+def _pallas_ok(x: jnp.ndarray, use_pallas: bool) -> bool:
+    if not use_pallas or x.shape[0] < TILE or jax.devices()[0].platform == "cpu":
+        return False
+    if jnp.issubdtype(x.dtype, jnp.integer) and x.shape[0] > _F32_EXACT_N:
+        raise ValueError(
+            f"Pallas f32 scan is exact only up to N = 2^24 for integer "
+            f"inputs; got N = {x.shape[0]}.  Pass use_pallas=False."
+        )
+    return True
+
+
 def exclusive_scan(x: jnp.ndarray, use_pallas: bool = True) -> jnp.ndarray:
     """Exclusive prefix sum (``StreamCompaction::Efficient::scan`` parity)."""
-    if not use_pallas or x.shape[0] < TILE or jax.devices()[0].platform == "cpu":
+    if not _pallas_ok(x, use_pallas):
         return exclusive_scan_jnp(x)
     orig_dtype = x.dtype
     out = _scan_pallas_f32(x.astype(jnp.float32), inclusive=False)
@@ -102,7 +119,7 @@ def exclusive_scan(x: jnp.ndarray, use_pallas: bool = True) -> jnp.ndarray:
 
 
 def inclusive_scan(x: jnp.ndarray, use_pallas: bool = True) -> jnp.ndarray:
-    if not use_pallas or x.shape[0] < TILE or jax.devices()[0].platform == "cpu":
+    if not _pallas_ok(x, use_pallas):
         return inclusive_scan_jnp(x)
     orig_dtype = x.dtype
     out = _scan_pallas_f32(x.astype(jnp.float32), inclusive=True)

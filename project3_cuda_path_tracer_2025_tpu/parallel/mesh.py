@@ -83,18 +83,21 @@ def sharded_iteration(
 
 
 def dryrun(n_devices: int, scene_path: str = "/root/reference/scenes/cornell.json",
-           width: int = 64, height: int = 64, integrator: str = "megakernel") -> Tuple:
+           width: int = 64, height: int = 64, integrator: str = "megakernel",
+           **cfg_overrides) -> Tuple:
     """Compile + execute ONE sharded iteration on tiny shapes.
 
     Used by ``__graft_entry__.dryrun_multichip`` (driver validation with
-    virtual CPU devices) and by the sharding tests.
+    virtual CPU devices) and by the sharding tests.  ``cfg_overrides`` are
+    forwarded to ``RenderConfig`` (e.g. ``mesh_intersector="mxu"`` to push
+    the Pallas MXU intersector through the sharded step).
     """
     from ..ops import film as film_ops
     from ..scene import build_device_scene, camera_state, derive_render_camera, load_scene, set_resolution
 
     scene = set_resolution(load_scene(scene_path), width, height)
     dev, static = build_device_scene(scene)
-    cfg = RenderConfig(integrator=integrator)
+    cfg = RenderConfig(integrator=integrator, **cfg_overrides)
     mesh = make_pixel_mesh(n_devices)
 
     dev = replicate_scene(dev, mesh)

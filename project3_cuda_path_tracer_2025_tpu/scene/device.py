@@ -72,6 +72,11 @@ class SceneStatic:
     image_name: str
     # Triangle count padded to the MXU intersector's tile size (0 = no mesh).
     mxu_padded_tris: int = 0
+    # Mesh AABB (xmin,ymin,zmin,xmax,ymax,zmax) as static floats; used to
+    # normalize ray origins for coherence-sort morton keys.
+    mesh_bounds: Tuple[float, float, float, float, float, float] = (
+        0.0, 0.0, 0.0, 1.0, 1.0, 1.0,
+    )
 
     @property
     def has_triangles(self) -> bool:
@@ -263,9 +268,16 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
     if T > 0:
         mxu_tables = _mxu.build_mxu_tables(pos, nrm, uv, dpdu, dpdv, mat)
         mxu_padded = ((T + _mxu.TRI_TILE - 1) // _mxu.TRI_TILE) * _mxu.TRI_TILE
+        flat_pos = pos.reshape(-1, 3)
+        mesh_bounds = tuple(
+            float(x) for x in np.concatenate(
+                [flat_pos.min(axis=0), flat_pos.max(axis=0)]
+            )
+        )
     else:
         mxu_tables = _mxu.dummy_mxu_tables()
         mxu_padded = 0
+        mesh_bounds = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
 
     # --- BVH --------------------------------------------------------------
     if scene.bvh is not None and T > 0:
@@ -341,6 +353,7 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         tex_hmax=hmax,
         image_name=scene.state.image_name,
         mxu_padded_tris=mxu_padded,
+        mesh_bounds=mesh_bounds,
     )
     return (
         DeviceScene(materials, triangles, bvh, textures, mxu_tables),

@@ -14,6 +14,23 @@ from dataclasses import dataclass, field
 from typing import List
 
 import jax
+import jax.numpy as jnp
+
+
+def device_sync(*arrays) -> None:
+    """Actually wait for computation of ``arrays`` to finish.
+
+    ``jax.block_until_ready`` does NOT synchronize on the remote-tunnel
+    (axon) TPU backend -- it returns in ~0.1 ms even with seconds of compute
+    queued.  The only reliable sync is a host fetch; fetching whole arrays
+    pays huge tunnel transfer (64 MB ~= 6 s), so reduce to one scalar on
+    device and fetch 4 bytes (~22 ms roundtrip).  On CPU this degenerates to
+    a cheap local fetch."""
+    leaves = [l for a in arrays for l in jax.tree_util.tree_leaves(a)]
+    if not leaves:
+        return
+    s = sum(jnp.sum(l.ravel()[:1].astype(jnp.float32)) for l in leaves)
+    float(s)  # host fetch forces completion of everything above
 
 
 class PerformanceTimer:
@@ -31,8 +48,7 @@ class PerformanceTimer:
     def stop(self, *block_on) -> float:
         if self._t0 is None:
             raise RuntimeError("timer not started")
-        for x in block_on:
-            jax.block_until_ready(x)
+        device_sync(*block_on)
         self.elapsed_ms = (time.perf_counter() - self._t0) * 1e3
         self._t0 = None
         return self.elapsed_ms

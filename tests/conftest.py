@@ -32,6 +32,11 @@ SCENES_DIR = REFERENCE_ROOT / "scenes"
 
 
 @pytest.fixture(scope="session")
+def repo_root():
+    return REPO_ROOT
+
+
+@pytest.fixture(scope="session")
 def scenes_dir():
     if not SCENES_DIR.is_dir():
         pytest.skip("reference scenes not available")

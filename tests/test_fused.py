@@ -30,27 +30,30 @@ def test_fused_matches_unfused(cornell_tiny):
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
 
 
-def test_fused_applicability_gates(cornell_tiny, scenes_dir):
+def test_fused_applicability_gates(cornell_tiny, repo_root):
     from project3_cuda_path_tracer_2025_tpu.scene import build_device_scene
 
     _, static = build_device_scene(cornell_tiny)
     assert fused.fused_applicable(static, RenderConfig())
     assert not fused.fused_applicable(static, RenderConfig(shader="fake"))
 
-    # mesh scene -> not applicable
-    import json
-
-    scene = load_scene(str(scenes_dir / "cornell.json"))
-    object.__setattr__  # noqa -- documented: triangles force the gate off
-    # (covered implicitly by the mesh tests which run the unfused path)
+    # Mesh scene -> has_triangles -> the fused prim kernel must gate off.
+    mesh = load_scene(str(repo_root / "scenes" / "cornell_mesh_5k.json"))
+    _, mesh_static = build_device_scene(set_resolution(mesh, 8, 8))
+    assert mesh_static.has_triangles
+    assert not fused.fused_applicable(mesh_static, RenderConfig())
 
 
 def test_fused_auto_off_on_cpu(cornell_tiny):
     """auto must not select the (interpreted, slow) kernel on CPU."""
-    r = Renderer(cornell_tiny, RenderConfig(fused_bounce="auto"))
     import time
 
+    r = Renderer(cornell_tiny, RenderConfig(fused_bounce="auto"))
     t0 = time.perf_counter()
     r.step()
-    # interpreted fused at 400 rays already takes >10s; the jnp path is fast
+    elapsed = time.perf_counter() - t0
     assert np.isfinite(r.image()).all()
+    # The interpreted fused kernel at 400 rays takes >10s even warm; the jnp
+    # path (compile included) stays well under that.  This catches "auto"
+    # accidentally selecting Pallas-interpret on CPU.
+    assert elapsed < 10.0, f"auto path took {elapsed:.1f}s on CPU - interpreted kernel?"

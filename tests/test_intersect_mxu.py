@@ -62,6 +62,35 @@ def test_mxu_matches_brute_force():
     assert (np.asarray(out.tri)[inact] == -1).all()
 
 
+def test_mxu_sorted_bitexact():
+    """Ray-coherence sorting is a pure permutation around the kernel: every
+    per-ray output must be bit-identical with sorting on vs off."""
+    rng = np.random.default_rng(33)
+    scene = _random_mesh_scene(rng, n_tris=150)
+    dev, static = build_device_scene(scene)
+
+    n = 700
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.3)  # plenty of dead rays too
+    lim = jnp.full((n,), 3.4e38, jnp.float32)
+
+    kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds)
+    base = mesh_intersect_mxu(
+        dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+        ro, rd, active, lim, sort_rays=False, **kw,
+    )
+    srt = mesh_intersect_mxu(
+        dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+        ro, rd, active, lim, sort_rays=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(srt.tri), np.asarray(base.tri))
+    np.testing.assert_array_equal(np.asarray(srt.t), np.asarray(base.t))
+    np.testing.assert_array_equal(np.asarray(srt.u), np.asarray(base.u))
+    np.testing.assert_array_equal(np.asarray(srt.v), np.asarray(base.v))
+    assert (np.asarray(srt.tri)[~np.asarray(active)] == -1).all()
+
+
 def test_mxu_attribute_resolve():
     rng = np.random.default_rng(22)
     scene = _random_mesh_scene(rng, n_tris=100)
