@@ -54,6 +54,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="render from EYE directly instead of the reference's spherical reconstruction",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--mesh-intersector",
+        choices=("auto", "mxu", "threaded", "brute"),
+        default="auto",
+        help="mesh intersection backend (auto: MXU kernel on TPU)",
+    )
+    p.add_argument(
+        "--ray-sorting",
+        choices=("auto", "on", "off"),
+        default="auto",
+        help="per-bounce ray-coherence sorting for the MXU intersector",
+    )
+    p.add_argument(
+        "--spp-per-launch", type=int, default=1,
+        help="samples traced per device dispatch (amortizes tunnel latency)",
+    )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--checkpoint", default=None, help="write a .npz checkpoint here at exit")
     p.add_argument("--resume", default=None, help="resume from a .npz checkpoint")
@@ -99,6 +115,9 @@ def main(argv=None) -> int:
         bvh_acceleration=not args.no_bvh,
         mirror_output=not args.no_mirror,
         spherical_camera_reconstruction=not args.raw_camera,
+        mesh_intersector=args.mesh_intersector,
+        ray_sorting=args.ray_sorting,
+        spp_per_launch=args.spp_per_launch,
     )
     r = Renderer(scene, cfg, seed=args.seed)
     if args.resume:
@@ -115,7 +134,7 @@ def main(argv=None) -> int:
 
     try:
         while r.iteration < total:
-            r.step()
+            r.step_many(min(max(1, args.spp_per_launch), total - r.iteration))
             it = r.iteration
             if not args.quiet and args.log_every and (
                 it % args.log_every == 0 or it == total

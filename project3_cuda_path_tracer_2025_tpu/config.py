@@ -84,6 +84,11 @@ class RenderConfig:
     ray_sorting: str = "auto"
     ray_sort_bits: int = 5
 
+    # MXU-intersector attribute resolve: "gather" ([Tp,24] row gather, flat
+    # cost -- measured faster at every size) or "onehot" (one-hot matmul,
+    # flops scale with tri count; kept as the A/B oracle).
+    mxu_attr_resolve: str = "gather"
+
     # Loop lowering: Python-unroll the bounce loop (better fusion, bigger
     # HLO) vs lax.fori_loop (compact HLO).  None = auto (unroll).
     unroll_bounces: Optional[bool] = None

@@ -186,9 +186,13 @@ class Renderer:
                     f"{self.iteration}: {bad} lanes"
                 )
 
-    def _step_many_fn(self, k: int):
+    def _step_many_fn(self, k: int, example_args=None):
         """Jit a k-iteration loop (amortizes per-dispatch latency; the
-        reference pays a full host round-trip per frame, src/pathtrace.cu:783)."""
+        reference pays a full host round-trip per frame, src/pathtrace.cu:783).
+
+        AOT-compiled on first use so the timed path never includes a compile
+        (a 16-spp launch compile is tens of seconds through the tunnel and
+        used to silently inflate ms/frame)."""
         if k not in self._step_many_cache:
             iter_fn = self._iter_fn
             depth = self.static.trace_depth
@@ -201,7 +205,10 @@ class Renderer:
                 init = (film, jnp.zeros((depth,), jnp.int32))
                 return jax.lax.fori_loop(0, k, body, init)
 
-            self._step_many_cache[k] = jax.jit(_many, donate_argnums=(1,))
+            fn = jax.jit(_many, donate_argnums=(1,))
+            if example_args is not None:
+                fn = fn.lower(*example_args).compile()
+            self._step_many_cache[k] = fn
         return self._step_many_cache[k]
 
     def step_many(self, k: int) -> None:
@@ -209,11 +216,12 @@ class Renderer:
         if k == 1:
             self.step()
             return
-        fn = self._step_many_fn(k)
-        t0 = time.perf_counter()
-        self.film, alive = fn(
+        args = (
             self._cam_state, self.film, jnp.int32(self.iteration + 1), self._base_key
         )
+        fn = self._step_many_fn(k, example_args=args)
+        t0 = time.perf_counter()
+        self.film, alive = fn(*args)
         timers.device_sync(self.film.x)
         dt_ms = (time.perf_counter() - t0) * 1e3 / k
         for _ in range(k):

@@ -149,10 +149,9 @@ def triangle_intersection(
     return hit, t, u, v
 
 
-def _mxu_fits_vmem(static: SceneStatic, budget_bytes: int = 8 * 1024 * 1024) -> bool:
-    """The MXU intersector keeps the whole [16, 4*Tp] feature table in VMEM;
-    cap it well under the ~16MB/core so ray/quad tiles still fit."""
-    return static.mxu_padded_tris * 16 * 4 * 4 <= budget_bytes
+# (Round 1 capped the MXU intersector at ~32k tris because its feature table
+# had to fit VMEM whole; the chunked multi-call chain in ops.intersect_mxu
+# now keeps each chunk VMEM-resident, so any triangle count runs.)
 
 
 class MeshHit(NamedTuple):
@@ -387,10 +386,6 @@ def intersect_scene(
             mode = "brute"
         if mode == "auto":
             mode = "mxu" if jax.default_backend() != "cpu" else "threaded"
-        if mode == "mxu" and not _mxu_fits_vmem(static):
-            # Feature table would not fit VMEM (observed device fault on
-            # v5e at ~20MB); fall back to the gather walk.
-            mode = "threaded"
 
         if mode == "mxu":
             from . import intersect_mxu
@@ -429,7 +424,8 @@ def intersect_scene(
             from . import intersect_mxu
 
             at = intersect_mxu.resolve_attributes(
-                dev.mxu_mesh, static.mxu_padded_tris, mh.tri
+                dev.mxu_mesh, static.mxu_padded_tris, mh.tri,
+                mode=cfg.mxu_attr_resolve,
             )
             n0 = Vec3(at[:, 0], at[:, 1], at[:, 2])
             n1 = Vec3(at[:, 3], at[:, 4], at[:, 5])

@@ -53,6 +53,14 @@ TRI_TILE = int(os.environ.get("PTT_TRI_TILE", "1024"))  # tris per block
 USE_TILE_CULL = os.environ.get("PTT_TILE_CULL", "1") == "1"
 NUM_F = 16  # padded ray-feature dim (10 used)
 
+# Max triangles whose [NUM_F, 4*T] f32 feature table fits the VMEM budget
+# (8 MB, well under the ~16 MB/core so ray/quad tiles still fit).  Larger
+# meshes run as a chunked multi-call chain: each chunk's table is
+# VMEM-resident for its call, the running closest hit threads through as
+# the next chunk's t_limit (see ``_run``).
+CHUNK_TRIS = int(os.environ.get("PTT_CHUNK_TRIS", str(32 * 1024)))
+assert CHUNK_TRIS % TRI_TILE == 0 or CHUNK_TRIS < TRI_TILE
+
 
 class MXUMeshTables(NamedTuple):
     """Dense per-triangle feature + attribute tables (pytree of arrays;
@@ -308,7 +316,7 @@ def _intersect_kernel(
     jax.jit,
     static_argnames=(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
-        "mesh_bounds", "interpret",
+        "mesh_bounds", "chunk_tris", "interpret",
     ),
 )
 def _run(
@@ -322,6 +330,7 @@ def _run(
     sort_rays: bool = False,
     sort_bits: int = 5,
     mesh_bounds: tuple = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0),
+    chunk_tris: int = CHUNK_TRIS,
     interpret: bool = False,
 ):
     n = ox.shape[0]
@@ -365,35 +374,62 @@ def _run(
         tlim = tlim[perm]
 
     num_ray_tiles = n_pad // RAY_TILE
-    num_tri_tiles = padded_tris // TRI_TILE
-
-    kern = functools.partial(_intersect_kernel, baby_eps, num_tri_tiles)
     grid = (num_ray_tiles,)
 
-    out_t, out_tri, out_u, out_v = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((RAY_TILE, NUM_F), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            # full tables resident in VMEM for the whole kernel
-            pl.BlockSpec(features.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tile_aabb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-        ),
-        interpret=interpret,
-    )(rayf, tlim, features, tile_aabb)
+    def run_chunk(feat_c, aabb_c, tlim_c):
+        """One pallas_call over a VMEM-resident feature chunk."""
+        num_tri_tiles = feat_c.shape[1] // (4 * TRI_TILE)
+        kern = functools.partial(_intersect_kernel, baby_eps, num_tri_tiles)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((RAY_TILE, NUM_F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                # full chunk tables resident in VMEM for the whole kernel
+                pl.BlockSpec(feat_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(aabb_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            ),
+            interpret=interpret,
+        )(rayf, tlim_c, feat_c, aabb_c)
+
+    if padded_tris <= chunk_tris:
+        out_t, out_tri, out_u, out_v = run_chunk(features, tile_aabb, tlim)
+    else:
+        # Chunked multi-call chain for >chunk_tris meshes: each chunk's
+        # closest hit feeds the next chunk's t_limit so later chunks prune
+        # against everything already found; merge keeps the global best.
+        out_t, out_tri, out_u, out_v = tlim, None, None, None
+        tiles_per_chunk = max(1, chunk_tris // TRI_TILE)
+        chunk_tiles_sz = tiles_per_chunk * TRI_TILE
+        num_chunks = (padded_tris + chunk_tiles_sz - 1) // chunk_tiles_sz
+        for ci in range(num_chunks):
+            c0 = ci * tiles_per_chunk
+            c1 = min(padded_tris // TRI_TILE, c0 + tiles_per_chunk)
+            feat_c = features[:, c0 * 4 * TRI_TILE : c1 * 4 * TRI_TILE]
+            aabb_c = tile_aabb[c0:c1]
+            t_c, tri_c, u_c, v_c = run_chunk(feat_c, aabb_c, out_t)
+            better = tri_c >= 0  # kernel only reports hits closer than tlim
+            tri_glob = jnp.where(better, tri_c + c0 * TRI_TILE, -1)
+            if out_tri is None:
+                out_t, out_tri, out_u, out_v = t_c, tri_glob, u_c, v_c
+            else:
+                out_t = jnp.where(better, t_c, out_t)
+                out_tri = jnp.where(better, tri_glob, out_tri)
+                out_u = jnp.where(better, u_c, out_u)
+                out_v = jnp.where(better, v_c, out_v)
 
     if sort_rays:
         # Scatter results back to original ray order: res[perm[i]] = out[i].
@@ -437,13 +473,22 @@ def mesh_intersect_mxu(
     return MeshHit(t=t, tri=tri, u=u, v=v)
 
 
-def resolve_attributes(tables: MXUMeshTables, padded_tris: int, tri: jnp.ndarray):
-    """Per-ray triangle attributes via one one-hot matmul (no gathers).
+def resolve_attributes(
+    tables: MXUMeshTables, padded_tris: int, tri: jnp.ndarray, mode: str = "onehot"
+):
+    """Per-ray triangle attributes -> [N, 24] rows (zero rows for tri == -1).
 
-    Returns [N, 24] attr rows (zero rows for tri == -1).
-    cost: 2*N*Tp*24 flops on the MXU -- cheap vs a 0.12 Gelem/s gather.
+    ``mode="onehot"``: one one-hot matmul on the MXU (2*N*Tp*24 flops) --
+    no gathers, but the flop cost scales with the triangle count.
+    ``mode="gather"``: one [Tp, 24] row gather -- flat cost in Tp, the only
+    viable option for large meshes (the one-hot matmul at 80k tris is
+    ~2.5 TFLOP per bounce).
     """
     tp = padded_tris
+    if mode == "gather":
+        safe = jnp.clip(tri, 0, tp - 1)
+        rows = tables.attrs[safe]
+        return jnp.where((tri >= 0)[:, None], rows, 0.0)
     safe = jnp.clip(tri, 0, tp - 1)
     onehot = jax.nn.one_hot(jnp.where(tri >= 0, safe, tp), tp, dtype=jnp.float32)
     # note: tri == -1 maps past the table -> one_hot gives an all-zero row

@@ -138,9 +138,14 @@ class BVHTable(NamedTuple):
 
 
 class TextureTable(NamedTuple):
-    r: jnp.ndarray  # flat [NT * Hmax * Wmax] f32
-    g: jnp.ndarray
-    b: jnp.ndarray
+    """Padded texture stack as one RGBA row table.
+
+    ``rgba``: [NT * Hmax * Wmax, 4] f32 -- one ROW per texel so a bilinear
+    tap is a single row gather (4 row gathers per sample) instead of
+    per-channel 1D gathers; row gathers are the fast gather form on this
+    TPU (~9 Gelem/s measured vs serial element gathers)."""
+
+    rgba: jnp.ndarray  # [NT * Hmax * Wmax, 4] f32
     width: jnp.ndarray  # [NT] i32
     height: jnp.ndarray  # [NT] i32
 
@@ -315,11 +320,8 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
     # --- textures ----------------------------------------------------------
     stack, wh = build_texture_stack(scene.textures)
     nt, hmax, wmax, _ = stack.shape
-    flat = stack.reshape(-1, 4)
     textures = TextureTable(
-        r=jnp.asarray(flat[:, 0]),
-        g=jnp.asarray(flat[:, 1]),
-        b=jnp.asarray(flat[:, 2]),
+        rgba=jnp.asarray(stack.reshape(-1, 4)),
         width=jnp.asarray(wh[:, 0], jnp.int32),
         height=jnp.asarray(wh[:, 1], jnp.int32),
     )

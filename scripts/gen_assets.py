@@ -88,6 +88,49 @@ def torus_knot(p=2, q=3, seg_u=400, seg_v=100, r_tube=0.35):
     return verts / 3.0, faces
 
 
+def uvsphere(seg_u=72, seg_v=36):
+    """Lat-long sphere with spherical UVs (the textured-mesh fixture; the
+    reference's textured scenes need UV-mapped OBJs which were stripped)."""
+    verts, uvs, faces = [], [], []
+    for j in range(seg_v + 1):
+        phi = math.pi * j / seg_v
+        for i in range(seg_u + 1):
+            theta = 2 * math.pi * i / seg_u
+            verts.append((
+                math.sin(phi) * math.cos(theta),
+                math.cos(phi),
+                math.sin(phi) * math.sin(theta),
+            ))
+            uvs.append((i / seg_u, 1.0 - j / seg_v))
+    row = seg_u + 1
+    for j in range(seg_v):
+        for i in range(seg_u):
+            a = j * row + i
+            b = a + 1
+            c = a + row
+            d = c + 1
+            if j > 0:
+                faces.append((a, b, c))
+            if j < seg_v - 1:
+                faces.append((b, d, c))
+    return np.asarray(verts, float), np.asarray(uvs, float), faces
+
+
+def write_obj_uv(path, verts, uvs, faces):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for uv in uvs:
+            f.write(f"vt {uv[0]:.6f} {uv[1]:.6f}\n")
+        for v in verts:  # sphere: normal == position direction
+            n = v / max(np.linalg.norm(v), 1e-9)
+            f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+        for a, b, c in faces:
+            f.write(
+                f"f {a+1}/{a+1}/{a+1} {b+1}/{b+1}/{b+1} {c+1}/{c+1}/{c+1}\n"
+            )
+
+
 def write_obj(path, verts, faces, with_normals=False):
     with open(path, "w") as f:
         for v in verts:
@@ -146,8 +189,61 @@ def cornell_mesh_scene(obj_name, scale, out_name, res=800, depth=8, iters=5000):
         json.dump(scene, f, indent=2)
 
 
+WAHOO = "../../reference/scenes/textures/wahoo.bmp"  # relative to scenes/
+
+
+def cornell_textured_scene(obj_name, scale, out_name, res=800, depth=8,
+                           iters=5000):
+    """Textured + bump-mapped mesh in the cornell box (the reference's
+    cornell_obj_phatphuck_texture_test-class workload; its OBJ/textures were
+    stripped, so this uses the surviving wahoo.bmp on a UV sphere)."""
+    scene = {
+        "Materials": {
+            "light": {"TYPE": "Emitting", "RGB": [1.0, 1.0, 1.0], "EMITTANCE": 5.0},
+            "diffuse_white": {"TYPE": "Diffuse", "RGB": [0.98, 0.98, 0.98]},
+            "diffuse_red": {"TYPE": "Diffuse", "RGB": [0.85, 0.35, 0.35]},
+            "diffuse_green": {"TYPE": "Diffuse", "RGB": [0.35, 0.85, 0.35]},
+            "mesh_tex": {
+                "TYPE": "Diffuse", "RGB": [1.0, 1.0, 1.0],
+                "TEXTURE": WAHOO,
+                "BUMP_MAP": WAHOO, "BUMP_SCALE": 0.4,
+            },
+        },
+        "Camera": {
+            "RES": [res, res], "FOVY": 45.0, "ITERATIONS": iters,
+            "DEPTH": depth, "FILE": out_name,
+            "EYE": [0.0, 5.0, 10.5], "LOOKAT": [0.0, 5.0, 0.0],
+            "UP": [0.0, 1.0, 0.0], "APERTURE": 0.0,
+        },
+        "Objects": [
+            {"TYPE": "cube", "MATERIAL": "light",
+             "TRANS": [0, 10, 0], "ROTAT": [0, 0, 0], "SCALE": [3, 0.3, 3]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 0, 0], "ROTAT": [0, 0, 0], "SCALE": [10, 0.01, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 10, 0], "ROTAT": [0, 0, 90], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 5, -5], "ROTAT": [0, 90, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_red",
+             "TRANS": [-5, 5, 0], "ROTAT": [0, 0, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_green",
+             "TRANS": [5, 5, 0], "ROTAT": [0, 0, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "obj", "PATH": f"obj/{obj_name}", "MATERIAL": "mesh_tex",
+             "TRANS": [0, 4, 0], "ROTAT": [0, 30, 0],
+             "SCALE": [scale, scale, scale]},
+        ],
+    }
+    with open(os.path.join(SCENES, out_name + ".json"), "w") as f:
+        json.dump(scene, f, indent=2)
+
+
 def main():
     os.makedirs(os.path.join(SCENES, "obj"), exist_ok=True)
+
+    v, uv, f = uvsphere()
+    write_obj_uv(os.path.join(SCENES, "obj", "uvsphere5k.obj"), v, uv, f)
+    print(f"uvsphere: {len(f)} tris")
+    cornell_textured_scene("uvsphere5k.obj", 2.5, "cornell_mesh_textured")
 
     v, f = icosphere(4)
     write_obj(os.path.join(SCENES, "obj", "ico4.obj"), v, f, with_normals=True)

@@ -91,6 +91,58 @@ def test_mxu_sorted_bitexact():
     assert (np.asarray(srt.tri)[~np.asarray(active)] == -1).all()
 
 
+def test_mxu_chunked_matches_single():
+    """>chunk_tris meshes run as a chunked multi-call chain; results must be
+    bit-identical to the single-call path (and match brute force)."""
+    from project3_cuda_path_tracer_2025_tpu.ops import intersect_mxu as m
+
+    rng = np.random.default_rng(44)
+    scene = _random_mesh_scene(rng, n_tris=150)
+    dev, static = build_device_scene(scene)
+    # padded_tris is a multiple of TRI_TILE; chunk at one tile per chunk so
+    # the 150-tri scene (padded to >=TRI_TILE) still exercises the chain
+    # when TRI_TILE < padded_tris, and the merge logic in all cases.
+    n = 500
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.1)
+    lim = jnp.full((n,), 3.4e38, jnp.float32)
+
+    args = (dev.mxu_mesh.features, dev.mxu_mesh.tile_aabb, dev.mxu_mesh.center,
+            ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, lim)
+    kw = dict(num_tris=static.num_triangles, padded_tris=static.mxu_padded_tris,
+              baby_eps=CFG.baby_epsilon, interpret=True)
+    single = m._run(*args, **kw)
+    # force chunking: one TRI_TILE per chunk (no-op if only one tile, so pad
+    # the scene up by rebuilding with more triangles in that case)
+    if static.mxu_padded_tris > TRI_TILE:
+        chunked = m._run(*args, chunk_tris=TRI_TILE, **kw)
+    else:
+        # synthesize a 2-tile table by repeating the features columns
+        feats2 = jnp.concatenate(
+            [dev.mxu_mesh.features, dev.mxu_mesh.features * 0.0], axis=1
+        )
+        aabb2 = jnp.concatenate(
+            [dev.mxu_mesh.tile_aabb,
+             jnp.full((1, 8), 1e30, jnp.float32).at[0, 3:6].set(-1e30)], axis=0
+        )
+        args2 = (feats2, aabb2) + args[2:]
+        kw2 = dict(kw, padded_tris=2 * TRI_TILE)
+        single = m._run(*args2, **kw2)
+        chunked = m._run(*args2, chunk_tris=TRI_TILE, **kw2)
+    for a, b in zip(single, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mxu_attr_resolve_gather_matches_onehot():
+    rng = np.random.default_rng(45)
+    scene = _random_mesh_scene(rng, n_tris=100)
+    dev, static = build_device_scene(scene)
+    tri = jnp.asarray(rng.integers(-1, 100, 300), jnp.int32)
+    a = resolve_attributes(dev.mxu_mesh, static.mxu_padded_tris, tri, "onehot")
+    b = resolve_attributes(dev.mxu_mesh, static.mxu_padded_tris, tri, "gather")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
 def test_mxu_attribute_resolve():
     rng = np.random.default_rng(22)
     scene = _random_mesh_scene(rng, n_tris=100)

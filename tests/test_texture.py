@@ -39,12 +39,9 @@ def _oracle_bilinear(img, u, v):
 def _table(datas):
     stack, wh = build_texture_stack(datas)
     nt, hmax, wmax, _ = stack.shape
-    flat = stack.reshape(-1, 4)
     return (
         TextureTable(
-            r=jnp.asarray(flat[:, 0]),
-            g=jnp.asarray(flat[:, 1]),
-            b=jnp.asarray(flat[:, 2]),
+            rgba=jnp.asarray(stack.reshape(-1, 4)),
             width=jnp.asarray(wh[:, 0], jnp.int32),
             height=jnp.asarray(wh[:, 1], jnp.int32),
         ),
