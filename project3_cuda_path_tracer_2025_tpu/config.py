@@ -79,10 +79,12 @@ class RenderConfig:
     #   "on" / "off" -- force (A/B toggle; results are bit-identical either
     #                   way -- the sort is a pure permutation around the
     #                   kernel -- only speed changes)
-    # Sort key = morton(origin, ray_sort_bits bits/axis) high, direction
-    # octant low; dead rays sort to the end so trailing blocks skip whole.
+    # 6D key: coarse position morton (ray_sort_bits/axis, major) then
+    # direction morton (ray_sort_dir_bits/axis, minor; top bit = octant).
+    # Dead rays sort to the end so trailing blocks skip whole.
     ray_sorting: str = "auto"
-    ray_sort_bits: int = 5
+    ray_sort_bits: int = 2
+    ray_sort_dir_bits: int = 4
 
     # MXU-intersector attribute resolve: "gather" ([Tp,24] row gather, flat
     # cost -- measured faster at every size) or "onehot" (one-hot matmul,

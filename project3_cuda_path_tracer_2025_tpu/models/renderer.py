@@ -211,8 +211,13 @@ class Renderer:
             self._step_many_cache[k] = fn
         return self._step_many_cache[k]
 
-    def step_many(self, k: int) -> None:
-        """Trace k spp in one device dispatch."""
+    def step_many(self, k: int, sync: bool = True) -> None:
+        """Trace k spp in one device dispatch.
+
+        ``sync=False`` skips the per-call device sync (a ~22 ms tunnel
+        roundtrip): use it when chaining many batches back-to-back and sync
+        once at the end (``device_sync``) -- per-call wall stats are then
+        enqueue times, not compute times."""
         if k == 1:
             self.step()
             return
@@ -222,7 +227,8 @@ class Renderer:
         fn = self._step_many_fn(k, example_args=args)
         t0 = time.perf_counter()
         self.film, alive = fn(*args)
-        timers.device_sync(self.film.x)
+        if sync:
+            timers.device_sync(self.film.x)
         dt_ms = (time.perf_counter() - t0) * 1e3 / k
         for _ in range(k):
             self.stats.add(dt_ms)

@@ -404,8 +404,10 @@ def intersect_scene(
                 cfg.baby_epsilon,
                 sort_rays=sort_rays,
                 sort_bits=cfg.ray_sort_bits,
+                sort_dir_bits=cfg.ray_sort_dir_bits,
                 mesh_bounds=static.mesh_bounds,
                 interpret=jax.default_backend() == "cpu",
+                compute_uv=False,  # derived below from the resolved rows
             )
         elif mode == "threaded":
             mh = mesh_intersect_bvh(
@@ -417,16 +419,22 @@ def intersect_scene(
                 dev, static, ro, rd, active, t_min, cfg.baby_epsilon
             )
         tri_hit = mh.tri >= 0
-        w = 1.0 - mh.u - mh.v
 
         if mode == "mxu":
-            # Attribute resolve without gathers: one one-hot matmul.
+            # One row-gather resolves attributes AND the winner geometry for
+            # the (u, v) recompute (the kernel tracks only t + tri).
             from . import intersect_mxu
 
             at = intersect_mxu.resolve_attributes(
                 dev.mxu_mesh, static.mxu_padded_tris, mh.tri,
                 mode=cfg.mxu_attr_resolve,
             )
+            uu, vv = intersect_mxu.winner_uv(
+                dev.mxu_mesh, static.mxu_padded_tris, mh.tri, ro, rd,
+                cfg.baby_epsilon, attr_rows=at,
+            )
+            mh = mh._replace(u=uu, v=vv)
+            w = 1.0 - mh.u - mh.v
             n0 = Vec3(at[:, 0], at[:, 1], at[:, 2])
             n1 = Vec3(at[:, 3], at[:, 4], at[:, 5])
             n2 = Vec3(at[:, 6], at[:, 7], at[:, 8])
@@ -436,6 +444,7 @@ def intersect_scene(
             tri_dpdv = Vec3(at[:, 18], at[:, 19], at[:, 20])
             tri_mat = at[:, 21].astype(jnp.int32)
         else:
+            w = 1.0 - mh.u - mh.v
             tidx = jnp.clip(mh.tri, 0, static.num_triangles - 1)
             tris = dev.triangles
             n0 = vec.select_gather(tris.n0, tidx)

@@ -70,7 +70,9 @@ class MXUMeshTables(NamedTuple):
     features: jnp.ndarray  # [NUM_F, 4*Tp] f32: columns (det|u|v|t) per tri
     tile_aabb: jnp.ndarray  # [C, 8] f32 per tri-tile bounds (xyz min, xyz max, pad)
     # attribute resolve tables (leaf order), one row per triangle:
-    attrs: jnp.ndarray  # [Tp, 24] f32: n0 n1 n2 (9) uv0 uv1 uv2 (6) dpdu dpdv (6) mat (1) pad
+    # n0 n1 n2 (9) uv0 uv1 uv2 (6) dpdu dpdv (6) mat (1) pad (2)
+    # v0 (3) e1 (3) e2 (3) pad (7)  -- geometry for winner (u,v) recompute
+    attrs: jnp.ndarray  # [Tp, 40] f32
     center: jnp.ndarray  # [3] scene recentering offset
 
 
@@ -142,7 +144,11 @@ def build_mxu_tables(
         tile_aabb[i, 0:3] = tv.min(axis=0)
         tile_aabb[i, 3:6] = tv.max(axis=0)
 
-    attrs = np.zeros((tp, 24), np.float32)
+    # Attribute rows also carry the triangle geometry (v0/e1/e2, world
+    # space) so the winner's (u, v) barycentrics are recomputed per ray
+    # AFTER the kernel (one elementwise Moller-Trumbore) -- this removed two
+    # masked pick-reductions from the kernel's per-tile epilogue.
+    attrs = np.zeros((tp, 40), np.float32)
     attrs[:t, 0:3] = nrm[:, 0]
     attrs[:t, 3:6] = nrm[:, 1]
     attrs[:t, 6:9] = nrm[:, 2]
@@ -152,6 +158,9 @@ def build_mxu_tables(
     attrs[:t, 15:18] = dpdu
     attrs[:t, 18:21] = dpdv
     attrs[:t, 21] = mat.astype(np.float32)
+    attrs[:t, 24:27] = pos[:, 0]
+    attrs[:t, 27:30] = pos[:, 1] - pos[:, 0]
+    attrs[:t, 30:33] = pos[:, 2] - pos[:, 0]
 
     return MXUMeshTables(
         features=jnp.asarray(feat),
@@ -165,7 +174,7 @@ def dummy_mxu_tables() -> MXUMeshTables:
     return MXUMeshTables(
         features=jnp.zeros((NUM_F, 4 * TRI_TILE), jnp.float32),
         tile_aabb=jnp.full((1, 8), 1e30, jnp.float32).at[0, 3:6].set(-1e30),
-        attrs=jnp.zeros((TRI_TILE, 24), jnp.float32),
+        attrs=jnp.zeros((TRI_TILE, 40), jnp.float32),
         center=jnp.zeros((3,), jnp.float32),
     )
 
@@ -180,39 +189,57 @@ def _morton_spread3(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _coherence_keys(
-    osx, osy, osz, dxp, dyp, dzp, live, lo, hi, pos_bits: int
+    osx, osy, osz, dxp, dyp, dzp, live, lo, hi, pos_bits: int,
+    dir_bits: int = 3,
 ) -> jnp.ndarray:
-    """Ray-coherence sort key: morton(origin) high bits, direction octant low.
+    """6D ray-coherence sort key: coarse position morton (major), direction
+    morton (minor).
 
     Bounce rays land on surfaces anywhere in the scene with scattered
-    directions; 256-ray blocks in pixel order are therefore spatially wild
-    and the tile AABB cull never fires (each block's union frustum covers
-    everything).  Sorting by this key groups rays that start near each other
-    and head the same way, so a block's collective footprint touches few
-    triangle tiles and the cull skips the rest.  Dead rays get the max key
-    and collect in all-dead trailing blocks, which skip entirely.
+    directions; 256-ray blocks in pixel order are spatially wild and the
+    per-tile AABB cull never fires (ANY of 256 rays hitting the mesh bbox
+    keeps the tile alive, and with direction spread that probability is ~1).
+    Position alone is not enough either: from a fixed cell, a quarter-sphere
+    of directions still almost surely contains the mesh.  So the key orders
+    rays by (position cell, direction cone): blocks then share a tight
+    frustum, whole blocks provably miss the mesh bbox, and the cull finally
+    bites.  Dead rays get the max key and collect in all-dead trailing
+    blocks, which skip entirely.
+
+    ``pos_bits`` per position axis (coarse: a cell should hold >= a few
+    blocks of rays so the direction bits can refine within it),
+    ``dir_bits`` per direction axis (the top bit is the sign, i.e. the
+    octant).  Key width = 3*(pos_bits + dir_bits) <= 30.
 
     origins are recentered (kernel frame); ``lo``/``hi`` is the mesh AABB in
     that same frame.
     """
     span = jnp.maximum(hi - lo, 1e-6)
-    scale = (1 << pos_bits) - 1
+    pscale = (1 << pos_bits) - 1
 
-    def q(o, axis):
+    def qp(o, axis):
         t = jnp.clip((o - lo[axis]) / span[axis], 0.0, 1.0)
-        return (t * scale).astype(jnp.int32)
+        return (t * pscale).astype(jnp.int32)
 
-    code = (
-        _morton_spread3(q(osx, 0))
-        | (_morton_spread3(q(osy, 1)) << 1)
-        | (_morton_spread3(q(osz, 2)) << 2)
+    pos_code = (
+        _morton_spread3(qp(osx, 0))
+        | (_morton_spread3(qp(osy, 1)) << 1)
+        | (_morton_spread3(qp(osz, 2)) << 2)
     )
-    octant = (
-        (dxp < 0).astype(jnp.int32)
-        + 2 * (dyp < 0).astype(jnp.int32)
-        + 4 * (dzp < 0).astype(jnp.int32)
+
+    dscale = (1 << dir_bits) - 1
+
+    def qd(d):
+        t = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
+        return (t * dscale).astype(jnp.int32)
+
+    dir_code = (
+        _morton_spread3(qd(dxp))
+        | (_morton_spread3(qd(dyp)) << 1)
+        | (_morton_spread3(qd(dzp)) << 2)
     )
-    key = (code << 3) | octant  # <= 3*pos_bits + 3 bits (pos_bits <= 9)
+
+    key = (pos_code << (3 * dir_bits)) | dir_code
     return jnp.where(live > 0.0, key, jnp.int32(1 << 30))
 
 
@@ -226,9 +253,11 @@ def _intersect_kernel(
     aabb_ref,  # [C, 8] full tile-bounds table
     out_t_ref,  # [RAY_TILE, 1]
     out_tri_ref,  # [RAY_TILE, 1] i32
-    out_u_ref,
-    out_v_ref,
 ):
+    """Finds (closest t, triangle id) per ray.  The winner's (u, v) are NOT
+    tracked here -- they are recomputed per ray outside the kernel from the
+    attrs table (``winner_uv``), which removes two masked pick-reductions
+    from this epilogue (the kernel is VPU-epilogue-bound, not MXU-bound)."""
     rayf = rayf_ref[:]
     d = rayf[:, 0:3]
     o = rayf[:, 6:9]
@@ -239,7 +268,7 @@ def _intersect_kernel(
     block_live = jnp.any(rayf[:, 9] > 0.0)
 
     def tile_body(c, carry):
-        best_t, best_tri, best_u, best_v = carry
+        best_t, best_tri = carry
 
         # --- tile cull: slab test against this tri tile's AABB ------------
         row = aabb_ref[pl.ds(c, 1), :]  # [1, 8]
@@ -250,7 +279,7 @@ def _intersect_kernel(
         any_hit = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
 
         def live(carry):
-            best_t, best_tri, best_u, best_v = carry
+            best_t, best_tri = carry
             cols = pl.ds(pl.multiple_of(c * (4 * TRI_TILE), 4 * TRI_TILE), 4 * TRI_TILE)
             quad = jnp.dot(
                 rayf, feat_ref[:, cols], preferred_element_type=jnp.float32
@@ -262,15 +291,19 @@ def _intersect_kernel(
 
             det_ok = jnp.abs(det) >= baby_eps
             inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-            u = u_num * inv_det
-            v = v_num * inv_det
             tt = t_num * inv_det
+            # Division-free barycentric bounds: u = u_num/det in [0,1] iff
+            # u_num*sign(det) in [0, |det|] (det != 0 under det_ok).
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            us = u_num * s
+            vs = v_num * s
+            da = det * s  # |det|
             hit = (
                 det_ok
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
+                & (us >= 0.0)
+                & (us <= da)
+                & (vs >= 0.0)
+                & (us + vs <= da)
                 & (tt > baby_eps)
             )
             # Sentinel must compare >= any t_limit (callers pass FLT_MAX).
@@ -280,13 +313,9 @@ def _intersect_kernel(
             # lowest lane achieving the min (min-reductions only; no argmin)
             lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
             kbest = jnp.min(lane_masked, axis=1, keepdims=True)  # [R, 1]
-            sel = lane == kbest
-            pick = lambda x: jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
             return (
                 jnp.where(better, row_min, best_t),
                 jnp.where(better, c * TRI_TILE + kbest, best_tri),
-                jnp.where(better, pick(u), best_u),
-                jnp.where(better, pick(v), best_v),
             )
 
         if not USE_TILE_CULL:
@@ -297,10 +326,8 @@ def _intersect_kernel(
     init = (
         tlim_ref[:],
         jnp.full(shape, -1, jnp.int32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
     )
-    best_t, best_tri, best_u, best_v = jax.lax.cond(
+    best_t, best_tri = jax.lax.cond(
         block_live,
         lambda cr: jax.lax.fori_loop(0, num_tri_tiles, tile_body, cr),
         lambda cr: cr,
@@ -308,15 +335,13 @@ def _intersect_kernel(
     )
     out_t_ref[:] = best_t
     out_tri_ref[:] = best_tri
-    out_u_ref[:] = best_u
-    out_v_ref[:] = best_v
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
-        "mesh_bounds", "chunk_tris", "interpret",
+        "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret",
     ),
 )
 def _run(
@@ -328,7 +353,8 @@ def _run(
     padded_tris: int,
     baby_eps: float,
     sort_rays: bool = False,
-    sort_bits: int = 5,
+    sort_bits: int = 3,
+    sort_dir_bits: int = 3,
     mesh_bounds: tuple = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0),
     chunk_tris: int = CHUNK_TRIS,
     interpret: bool = False,
@@ -368,7 +394,9 @@ def _run(
         # unsorted scatter-back below is bit-identical to sort off.
         lo = jnp.asarray(mesh_bounds[:3], jnp.float32) - center
         hi = jnp.asarray(mesh_bounds[3:], jnp.float32) - center
-        key = _coherence_keys(osx, osy, osz, dxp, dyp, dzp, one, lo, hi, sort_bits)
+        key = _coherence_keys(
+            osx, osy, osz, dxp, dyp, dzp, one, lo, hi, sort_bits, sort_dir_bits
+        )
         perm = jnp.argsort(key)
         rayf = rayf[perm]
         tlim = tlim[perm]
@@ -393,25 +421,21 @@ def _run(
             out_specs=(
                 pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             ),
             interpret=interpret,
         )(rayf, tlim_c, feat_c, aabb_c)
 
     if padded_tris <= chunk_tris:
-        out_t, out_tri, out_u, out_v = run_chunk(features, tile_aabb, tlim)
+        out_t, out_tri = run_chunk(features, tile_aabb, tlim)
     else:
         # Chunked multi-call chain for >chunk_tris meshes: each chunk's
         # closest hit feeds the next chunk's t_limit so later chunks prune
         # against everything already found; merge keeps the global best.
-        out_t, out_tri, out_u, out_v = tlim, None, None, None
+        out_t, out_tri = tlim, None
         tiles_per_chunk = max(1, chunk_tris // TRI_TILE)
         chunk_tiles_sz = tiles_per_chunk * TRI_TILE
         num_chunks = (padded_tris + chunk_tiles_sz - 1) // chunk_tiles_sz
@@ -420,27 +444,23 @@ def _run(
             c1 = min(padded_tris // TRI_TILE, c0 + tiles_per_chunk)
             feat_c = features[:, c0 * 4 * TRI_TILE : c1 * 4 * TRI_TILE]
             aabb_c = tile_aabb[c0:c1]
-            t_c, tri_c, u_c, v_c = run_chunk(feat_c, aabb_c, out_t)
+            t_c, tri_c = run_chunk(feat_c, aabb_c, out_t)
             better = tri_c >= 0  # kernel only reports hits closer than tlim
             tri_glob = jnp.where(better, tri_c + c0 * TRI_TILE, -1)
             if out_tri is None:
-                out_t, out_tri, out_u, out_v = t_c, tri_glob, u_c, v_c
+                out_t, out_tri = t_c, tri_glob
             else:
                 out_t = jnp.where(better, t_c, out_t)
                 out_tri = jnp.where(better, tri_glob, out_tri)
-                out_u = jnp.where(better, u_c, out_u)
-                out_v = jnp.where(better, v_c, out_v)
 
     if sort_rays:
         # Scatter results back to original ray order: res[perm[i]] = out[i].
         unsort = lambda o: jnp.zeros_like(o).at[perm].set(o)
-        out_t, out_tri, out_u, out_v = (
-            unsort(out_t), unsort(out_tri), unsort(out_u), unsort(out_v)
-        )
+        out_t, out_tri = unsort(out_t), unsort(out_tri)
 
     tri = out_tri[:n, 0]
     tri = jnp.where(tri >= num_tris, -1, tri)  # padded fake tris never hit, but be safe
-    return out_t[:n, 0], tri, out_u[:n, 0], out_v[:n, 0]
+    return out_t[:n, 0], tri
 
 
 def mesh_intersect_mxu(
@@ -453,11 +473,18 @@ def mesh_intersect_mxu(
     t_limit: jnp.ndarray,
     baby_eps: float,
     sort_rays: bool = False,
-    sort_bits: int = 5,
+    sort_bits: int = 3,
+    sort_dir_bits: int = 3,
     mesh_bounds: tuple = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0),
     interpret: bool = False,
+    compute_uv: bool = True,
 ) -> MeshHit:
-    t, tri, u, v = _run(
+    """Closest hit over the mesh.  The returned (u, v) are recomputed from
+    the winner's geometry (attrs rows) with the standard Moller-Trumbore
+    formulas -- identical to the brute-force oracle's arithmetic.  Callers
+    that resolve attributes anyway pass ``compute_uv=False`` and call
+    ``winner_uv`` with the resolved rows (saves a gather)."""
+    t, tri = _run(
         tables.features,
         tables.tile_aabb,
         tables.center,
@@ -467,10 +494,45 @@ def mesh_intersect_mxu(
         baby_eps=baby_eps,
         sort_rays=sort_rays,
         sort_bits=sort_bits,
+        sort_dir_bits=sort_dir_bits,
         mesh_bounds=mesh_bounds,
         interpret=interpret,
     )
+    if compute_uv:
+        u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)
+    else:
+        u = v = jnp.zeros_like(t)
     return MeshHit(t=t, tri=tri, u=u, v=v)
+
+
+def winner_uv(
+    tables: MXUMeshTables,
+    padded_tris: int,
+    tri: jnp.ndarray,
+    ro: Vec3,
+    rd: Vec3,
+    baby_eps: float,
+    attr_rows: jnp.ndarray | None = None,
+):
+    """Per-ray (u, v) of the winning triangle via elementwise MT (one row
+    gather; reuse ``attr_rows`` if the caller already resolved attributes)."""
+    if attr_rows is None:
+        attr_rows = resolve_attributes(tables, padded_tris, tri, mode="gather")
+    v0 = attr_rows[:, 24:27]
+    e1 = attr_rows[:, 27:30]
+    e2 = attr_rows[:, 30:33]
+    d = jnp.stack([rd.x, rd.y, rd.z], axis=-1)
+    o = jnp.stack([ro.x, ro.y, ro.z], axis=-1)
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    det_ok = jnp.abs(det) >= baby_eps
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    miss = tri < 0
+    return jnp.where(miss, 0.0, u), jnp.where(miss, 0.0, v)
 
 
 def resolve_attributes(

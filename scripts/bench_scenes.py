@@ -32,12 +32,12 @@ scene = load_scene({path!r})
 if res:
     set_resolution(scene, res, res)
 r = Renderer(scene, RenderConfig(spp_per_launch=batch, **cfg_kw))
-r.step_many(batch)  # compile + warmup
+r.step_many(batch)  # compile + warmup (AOT; device-synced)
 t0 = time.perf_counter()
 done = 0
 while done < spp:
-    r.step_many(batch)
     done += batch
+    r.step_many(batch, sync=done >= spp)  # one sync at the end
 dt = time.perf_counter() - t0
 ms = dt * 1e3 / done
 rays = float(r._alive_counts.sum() + r.static.pixel_count)
@@ -85,17 +85,18 @@ def main():
         ("/root/reference/scenes/cornell.json", {}),
         ("scenes/cornell_mesh_5k.json", {}),
         ("scenes/cornell_mesh_20k.json", {}),
+        ("scenes/cornell_mesh_textured.json", {}),
+        ("scenes/cornell_mesh_80k.json", {}),  # chunked MXU chain
     ]
     if not args.quick:
         runs += [
+            ("scenes/cornell_mesh_5k.json", {"ray_sorting": "off"}),
             ("/root/reference/scenes/cornell.json", {"integrator": "wavefront"}),
             (
                 "/root/reference/scenes/cornell.json",
                 {"integrator": "wavefront", "material_sorting": True},
             ),
             ("scenes/cornell_mesh_5k.json", {"bvh_acceleration": False}),
-            # last: huge threaded-traversal program, can fault the device
-            ("scenes/cornell_mesh_80k.json", {}),
         ]
 
     results = []
