@@ -52,10 +52,17 @@ def megakernel_iteration(
 
     from ..ops import fused
 
-    use_fused = cfg.fused_bounce == "on" or (
-        cfg.fused_bounce == "auto"
-        and fused.fused_applicable(static, cfg)
-        and jax.default_backend() != "cpu"
+    on_tpu = jax.default_backend() != "cpu"
+    force = cfg.fused_bounce == "on"
+    auto = cfg.fused_bounce == "auto" and on_tpu
+    use_fused = (force or auto) and fused.fused_applicable(static, cfg)
+    # Mesh scenes: MXU intersect stays its own kernel, but prim intersect +
+    # merge + shade fuse into one Pallas program (round-2: the XLA around
+    # the intersector cost ~140 ms/frame on the 5k mesh).
+    use_fused_mesh = (
+        (force or auto)
+        and not use_fused
+        and fused.fused_mesh_applicable(static, cfg)
     )
     fused_interpret = jax.default_backend() == "cpu"
 
@@ -65,6 +72,10 @@ def megakernel_iteration(
         if use_fused:
             paths = fused.fused_prim_bounce(
                 static, cfg, paths, su, interpret=fused_interpret
+            )
+        elif use_fused_mesh:
+            paths = fused.fused_mesh_bounce(
+                dev, static, cfg, paths, su, interpret=fused_interpret
             )
         else:
             isect = intersect_scene(dev, static, paths, cfg)

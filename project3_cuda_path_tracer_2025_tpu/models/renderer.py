@@ -93,12 +93,12 @@ class Renderer:
         )
 
         on_cpu = jax.default_backend() == "cpu"
-        use_fused_iter = cfg_.integrator == "megakernel" and (
-            cfg_.fused_bounce == "on"
-            or (
-                cfg_.fused_bounce == "auto"
-                and fused.fused_applicable(static_, cfg_)
-                and not on_cpu
+        use_fused_iter = (
+            cfg_.integrator == "megakernel"
+            and fused.fused_applicable(static_, cfg_)
+            and (
+                cfg_.fused_bounce == "on"
+                or (cfg_.fused_bounce == "auto" and not on_cpu)
             )
         )
 

@@ -178,6 +178,209 @@ def fused_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Fused MESH bounce: the mesh intersection itself runs in the MXU Pallas
+# kernel (ops.intersect_mxu), but round-2 profiling showed the ~140 ms/frame
+# of XLA around it (prim intersect, merge, shade, raygen uniforms) rivals the
+# kernel cost -- the same HBM-intermediate tax the prim-only fused kernel
+# eliminated.  So a mesh bounce becomes a 3-stage pipeline:
+#
+#   1. XLA:    prim nearest-t prepass (t_limit for mesh pruning),
+#              coherence sort + MXU intersect kernel -> (t, tri),
+#              one row-gather attr resolve + winner (u,v) + normal interp
+#   2. Pallas: THIS kernel -- analytic prim intersect (constant-folded),
+#              merge with the mesh hit, BSDF shade -- all VMEM-resident.
+#
+# Applicable when the scene has no textures (texture gathers can't lower in
+# Mosaic); textured scenes keep the unfused path.
+# ---------------------------------------------------------------------------
+
+
+def _mesh_bounce_kernel(
+    prim_static: SceneStatic,  # static with num_triangles=0 (prims only)
+    cfg: RenderConfig,
+    # refs: inputs
+    ox, oy, oz, dx, dy, dz, cr, cg, cb, bn,
+    mt, mnx, mny, mnz, mmat,
+    u0, u1, u2,
+    # refs: outputs
+    o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_cr, o_cg, o_cb, o_bn,
+):
+    paths = PathState(
+        origin=Vec3(ox[:], oy[:], oz[:]),
+        direction=Vec3(dx[:], dy[:], dz[:]),
+        color=Vec3(cr[:], cg[:], cb[:]),
+        pixel=bn[:],  # placeholder; never read by scatter_compose
+        bounces=bn[:],
+    )
+    isect_p = intersect_scene(None, prim_static, paths, cfg)
+
+    # Merge the precomputed mesh hit.  The MXU kernel ran with the prim
+    # nearest t as its t_limit, so tri_hit already implies mesh-closer
+    # (exact prim ties resolve to the prim, as in intersect_scene).
+    mesh_mat = mmat[:]
+    tri_hit = mesh_mat >= 0
+    mn = Vec3(mnx[:], mny[:], mnz[:])
+    flip = vec.dot(paths.direction, mn) > 0.0
+    mn = vec.where(flip, -mn, mn)
+
+    t = jnp.where(tri_hit, mt[:], isect_p.t)
+    normal = vec.where(tri_hit, mn, isect_p.normal)
+    mat = jnp.where(tri_hit, mesh_mat, isect_p.material_id)
+
+    mid = jnp.clip(mat, 0, prim_static.num_materials - 1)
+    albedo, emitt, refl, refr, ior, rough, metal = _const_material_params(
+        prim_static, mid
+    )
+    isect = isect_p._replace(t=t, normal=normal, material_id=mat)
+    out = shade_ops.scatter_compose(
+        cfg,
+        paths,
+        isect,
+        normal,  # no bump maps in the fused path
+        albedo, emitt, refl, refr, ior, rough, metal,
+        (u0[:], u1[:], u2[:]),
+        lobes=shade_ops.lobes_present(prim_static),
+    )
+    o_ox[:] = out.origin.x
+    o_oy[:] = out.origin.y
+    o_oz[:] = out.origin.z
+    o_dx[:] = out.direction.x
+    o_dy[:] = out.direction.y
+    o_dz[:] = out.direction.z
+    o_cr[:] = out.color.x
+    o_cg[:] = out.color.y
+    o_cb[:] = out.color.z
+    o_bn[:] = out.bounces
+
+
+@functools.partial(jax.jit, static_argnames=("prim_static", "cfg", "interpret"))
+def _fused_mesh_shade(
+    prim_static: SceneStatic,
+    cfg: RenderConfig,
+    paths: PathState,
+    mesh_t: jnp.ndarray,
+    mesh_normal: Vec3,
+    mesh_mat: jnp.ndarray,  # i32, -1 = no mesh hit
+    uniforms: jnp.ndarray,  # [3, N]
+    interpret: bool = False,
+) -> PathState:
+    n = paths.pixel.shape[0]
+    block = BLOCK_ROWS * 128
+    n_pad = ((n + block - 1) // block) * block
+
+    def prep(x, fill=0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=fill).reshape(-1, 128)
+
+    ins = [
+        prep(paths.origin.x), prep(paths.origin.y), prep(paths.origin.z),
+        prep(paths.direction.x), prep(paths.direction.y),
+        prep(paths.direction.z, fill=1.0),
+        prep(paths.color.x), prep(paths.color.y), prep(paths.color.z),
+        prep(paths.bounces),
+        prep(mesh_t), prep(mesh_normal.x), prep(mesh_normal.y),
+        prep(mesh_normal.z), prep(mesh_mat, fill=-1),
+        prep(uniforms[0]), prep(uniforms[1]), prep(uniforms[2]),
+    ]
+    rows = n_pad // 128
+    grid = (rows // BLOCK_ROWS,)
+    bspec = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_mesh_bounce_kernel, prim_static, cfg)
+    shapes = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 9 + [
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+    ]
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bspec] * len(ins),
+        out_specs=tuple([bspec] * 10),
+        out_shape=tuple(shapes),
+        interpret=interpret,
+    )(*ins)
+
+    unp = lambda x: x.reshape(-1)[:n]
+    return PathState(
+        origin=Vec3(unp(outs[0]), unp(outs[1]), unp(outs[2])),
+        direction=Vec3(unp(outs[3]), unp(outs[4]), unp(outs[5])),
+        color=Vec3(unp(outs[6]), unp(outs[7]), unp(outs[8])),
+        pixel=paths.pixel,
+        bounces=unp(outs[9]),
+    )
+
+
+def fused_mesh_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
+    """The fused mesh bounce needs the MXU intersector + no textures."""
+    return (
+        static.has_triangles
+        and static.num_textures == 0
+        and cfg.shader == "full"
+        and cfg.bvh_acceleration
+        and cfg.mesh_intersector in ("auto", "mxu")
+    )
+
+
+def fused_mesh_bounce(
+    dev,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    paths: PathState,
+    uniforms: jnp.ndarray,  # [3, N]
+    interpret: bool = False,
+) -> PathState:
+    """One full mesh-scene bounce: prim-t prepass + sorted MXU intersect +
+    attr resolve/interp (XLA) + the fused prim-intersect/merge/shade kernel.
+
+    Bit-compatible with the unfused path up to Mosaic float re-association
+    (same RNG planes, same mesh kernel, same shade formulas)."""
+    import dataclasses
+
+    from . import intersect_mxu
+    from .intersect import prim_t_min
+
+    ro, rd = paths.origin, paths.direction
+    t_lim = prim_t_min(static, cfg, ro, rd)
+
+    sort_rays = cfg.ray_sorting == "on" or (
+        cfg.ray_sorting == "auto" and jax.default_backend() != "cpu"
+    )
+    mh = intersect_mxu.mesh_intersect_mxu(
+        dev.mxu_mesh,
+        static.num_triangles,
+        static.mxu_padded_tris,
+        ro, rd, paths.alive, t_lim,
+        cfg.baby_epsilon,
+        sort_rays=sort_rays,
+        sort_bits=cfg.ray_sort_bits,
+        sort_dir_bits=cfg.ray_sort_dir_bits,
+        mesh_bounds=static.mesh_bounds,
+        interpret=interpret,
+        compute_uv=False,
+    )
+    at = intersect_mxu.resolve_attributes(
+        dev.mxu_mesh, static.mxu_padded_tris, mh.tri, mode=cfg.mxu_attr_resolve
+    )
+    uu, vv = intersect_mxu.winner_uv(
+        dev.mxu_mesh, static.mxu_padded_tris, mh.tri, ro, rd,
+        cfg.baby_epsilon, attr_rows=at,
+    )
+    w = 1.0 - uu - vv
+    n0 = Vec3(at[:, 0], at[:, 1], at[:, 2])
+    n1 = Vec3(at[:, 3], at[:, 4], at[:, 5])
+    n2 = Vec3(at[:, 6], at[:, 7], at[:, 8])
+    tri_hit = mh.tri >= 0
+    mesh_normal = vec.normalize(n0 * w + n1 * uu + n2 * vv)
+    # Miss rows are all-zero -> normalize would NaN; mask them out.
+    mesh_normal = vec.where(tri_hit, mesh_normal, Vec3.zeros(uu.shape))
+    mesh_mat = jnp.where(tri_hit, at[:, 21].astype(jnp.int32), -1)
+
+    prim_static = dataclasses.replace(static, num_triangles=0)
+    return _fused_mesh_shade(
+        prim_static, cfg, paths, mh.t, mesh_normal, mesh_mat, uniforms,
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Whole-iteration fusion: raygen + depth x (intersect + shade) + film
 # accumulate in ONE Pallas program.  Depth-profiling showed the per-bounce
 # kernel leaves ~2 ms/frame of fixed cost (raygen, film, per-dispatch

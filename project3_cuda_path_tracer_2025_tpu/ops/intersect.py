@@ -154,6 +154,19 @@ def triangle_intersection(
 # now keeps each chunk VMEM-resident, so any triangle count runs.)
 
 
+def prim_t_min(static: SceneStatic, cfg: RenderConfig, ro: Vec3, rd: Vec3):
+    """Nearest analytic-prim t per ray (FLT_MAX = none): the mesh kernel's
+    t_limit prune.  Normal/point math DCEs away -- only t survives."""
+    t_min = jnp.full(ro.x.shape, FLT_MAX)
+    for g in static.geoms:
+        if g.gtype == int(GeomType.CUBE):
+            t, _, _ = box_intersection(g, ro, rd, cfg.ray_advance_epsilon)
+        else:
+            t, _, _ = sphere_intersection(g, ro, rd, cfg.ray_advance_epsilon)
+        t_min = jnp.minimum(t_min, jnp.where(t > 0.0, t, FLT_MAX))
+    return t_min
+
+
 class MeshHit(NamedTuple):
     t: jnp.ndarray  # best triangle t (FLT_MAX when none)
     tri: jnp.ndarray  # i32 best triangle index (-1 = none)

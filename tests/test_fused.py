@@ -44,6 +44,22 @@ def test_fused_applicability_gates(cornell_tiny, repo_root):
     assert not fused.fused_applicable(mesh_static, RenderConfig())
 
 
+def test_fused_mesh_matches_unfused(repo_root):
+    """The fused mesh bounce (prim intersect + mesh-hit merge + shade in one
+    Pallas program) must match the unfused MXU path."""
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_mesh_5k.json")), 16, 16
+    )
+    mesh.state.trace_depth = 3
+    a = Renderer(mesh, RenderConfig(mesh_intersector="mxu", fused_bounce="off"))
+    b = Renderer(mesh, RenderConfig(mesh_intersector="mxu", fused_bounce="on"))
+    for _ in range(2):
+        a.step()
+        b.step()
+    np.testing.assert_allclose(a.image(), b.image(), atol=1e-4)
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+
+
 def test_fused_auto_off_on_cpu(cornell_tiny):
     """auto must not select the (interpreted, slow) kernel on CPU."""
     import time
