@@ -45,11 +45,17 @@ from .intersect import MeshHit
 
 import os
 
-# Tunable via env for hardware sweeps; defaults = best measured on v5e
-# (sweep over {512/512, 1024/256, 256/1024} x cull on/off; narrower ray
-# blocks make the tile cull worth its cond even for incoherent bounces).
+# Tunable via env for hardware sweeps; defaults = best measured on v5e.
+# A finer two-level cull hierarchy (TRI_TILE < GROUP) was swept on hardware
+# and LOST: per-fine-tile fixed costs (dynamic-slice slab + cross-sublane
+# any-reduce + lax.cond, ~0.5 us/visit) cancel the epilogue savings at
+# [256, 128] tiles.  Best measured remains single-level 1024-tri tiles; the
+# effective cull lever is the per-ray ROOT prepass in ``_run`` (see below),
+# which removes whole rays, not tiles.
 RAY_TILE = int(os.environ.get("PTT_RAY_TILE", "256"))  # rays per block
-TRI_TILE = int(os.environ.get("PTT_TRI_TILE", "1024"))  # tris per block
+TRI_TILE = int(os.environ.get("PTT_TRI_TILE", "1024"))  # tris per fine tile
+GROUP_TILES = int(os.environ.get("PTT_GROUP_TILES", "1"))  # fine tiles/group
+GROUP_TRIS = TRI_TILE * GROUP_TILES
 USE_TILE_CULL = os.environ.get("PTT_TILE_CULL", "1") == "1"
 NUM_F = 16  # padded ray-feature dim (10 used)
 
@@ -59,7 +65,7 @@ NUM_F = 16  # padded ray-feature dim (10 used)
 # VMEM-resident for its call, the running closest hit threads through as
 # the next chunk's t_limit (see ``_run``).
 CHUNK_TRIS = int(os.environ.get("PTT_CHUNK_TRIS", str(32 * 1024)))
-assert CHUNK_TRIS % TRI_TILE == 0 or CHUNK_TRIS < TRI_TILE
+assert CHUNK_TRIS % GROUP_TRIS == 0 or CHUNK_TRIS < GROUP_TRIS
 
 
 class MXUMeshTables(NamedTuple):
@@ -68,7 +74,8 @@ class MXUMeshTables(NamedTuple):
     ``SceneStatic.mxu_padded_tris``)."""
 
     features: jnp.ndarray  # [NUM_F, 4*Tp] f32: columns (det|u|v|t) per tri
-    tile_aabb: jnp.ndarray  # [C, 8] f32 per tri-tile bounds (xyz min, xyz max, pad)
+    tile_aabb: jnp.ndarray  # [Cf, 8] f32 per fine-tile bounds (xyz min/max, pad)
+    group_aabb: jnp.ndarray  # [Cg, 8] f32 per coarse-group bounds
     # attribute resolve tables (leaf order), one row per triangle:
     # n0 n1 n2 (9) uv0 uv1 uv2 (6) dpdu dpdv (6) mat (1) pad (2)
     # v0 (3) e1 (3) e2 (3) pad (7)  -- geometry for winner (u,v) recompute
@@ -85,7 +92,7 @@ def build_mxu_tables(
     mat: np.ndarray,  # [T]
 ) -> MXUMeshTables:
     t = pos.shape[0]
-    tp = ((t + TRI_TILE - 1) // TRI_TILE) * TRI_TILE
+    tp = ((t + GROUP_TRIS - 1) // GROUP_TRIS) * GROUP_TRIS
     center = pos.reshape(-1, 3).mean(axis=0).astype(np.float32)
 
     v0 = pos[:, 0].astype(np.float64) - center
@@ -127,22 +134,28 @@ def build_mxu_tables(
 
     # Padded (fake) triangles: all-zero features -> det == 0 -> never hit.
 
-    # Per-tile AABBs over member triangle vertices, in the same recentered
-    # frame the kernel's ray origins use.
-    c = tp // TRI_TILE
-    tile_aabb = np.zeros((c, 8), np.float32)
+    # Per-tile AABBs (both levels) over member triangle vertices, in the
+    # same recentered frame the kernel's ray origins use.
     shifted = pos.astype(np.float64) - center
-    for i in range(c):
-        lo = i * TRI_TILE
-        hi = min(t, lo + TRI_TILE)
-        if lo >= t:
-            # empty padding tile: inverted bounds never hit
-            tile_aabb[i, 0:3] = 1e30
-            tile_aabb[i, 3:6] = -1e30
-            continue
-        tv = shifted[lo:hi].reshape(-1, 3)
-        tile_aabb[i, 0:3] = tv.min(axis=0)
-        tile_aabb[i, 3:6] = tv.max(axis=0)
+
+    def level_aabbs(span: int) -> np.ndarray:
+        c = tp // span
+        out = np.zeros((c, 8), np.float32)
+        for i in range(c):
+            lo = i * span
+            hi = min(t, lo + span)
+            if lo >= t:
+                # empty padding tile: inverted bounds never hit
+                out[i, 0:3] = 1e30
+                out[i, 3:6] = -1e30
+                continue
+            tv = shifted[lo:hi].reshape(-1, 3)
+            out[i, 0:3] = tv.min(axis=0)
+            out[i, 3:6] = tv.max(axis=0)
+        return out
+
+    tile_aabb = level_aabbs(TRI_TILE)
+    group_aabb = level_aabbs(GROUP_TRIS)
 
     # Attribute rows also carry the triangle geometry (v0/e1/e2, world
     # space) so the winner's (u, v) barycentrics are recomputed per ray
@@ -165,16 +178,19 @@ def build_mxu_tables(
     return MXUMeshTables(
         features=jnp.asarray(feat),
         tile_aabb=jnp.asarray(tile_aabb),
+        group_aabb=jnp.asarray(group_aabb),
         attrs=jnp.asarray(attrs),
         center=jnp.asarray(center),
     )
 
 
 def dummy_mxu_tables() -> MXUMeshTables:
+    never = jnp.full((1, 8), 1e30, jnp.float32).at[0, 3:6].set(-1e30)
     return MXUMeshTables(
-        features=jnp.zeros((NUM_F, 4 * TRI_TILE), jnp.float32),
-        tile_aabb=jnp.full((1, 8), 1e30, jnp.float32).at[0, 3:6].set(-1e30),
-        attrs=jnp.zeros((TRI_TILE, 40), jnp.float32),
+        features=jnp.zeros((NUM_F, 4 * GROUP_TRIS), jnp.float32),
+        tile_aabb=jnp.tile(never, (GROUP_TILES, 1)),
+        group_aabb=never,
+        attrs=jnp.zeros((GROUP_TRIS, 40), jnp.float32),
         center=jnp.zeros((3,), jnp.float32),
     )
 
@@ -245,19 +261,26 @@ def _coherence_keys(
 
 def _intersect_kernel(
     baby_eps: float,
-    num_tri_tiles: int,
+    num_groups: int,
     # refs
     rayf_ref,  # [RAY_TILE, NUM_F] ray features (o already recentered)
     tlim_ref,  # [RAY_TILE, 1]
     feat_ref,  # [NUM_F, 4*Tp] FULL feature table (VMEM-resident)
-    aabb_ref,  # [C, 8] full tile-bounds table
+    aabb_ref,  # [Cf, 8] fine-tile bounds table
+    gaabb_ref,  # [Cg, 8] coarse-group bounds table
     out_t_ref,  # [RAY_TILE, 1]
     out_tri_ref,  # [RAY_TILE, 1] i32
 ):
     """Finds (closest t, triangle id) per ray.  The winner's (u, v) are NOT
     tracked here -- they are recomputed per ray outside the kernel from the
     attrs table (``winner_uv``), which removes two masked pick-reductions
-    from this epilogue (the kernel is VPU-epilogue-bound, not MXU-bound)."""
+    from this epilogue (the kernel is VPU-epilogue-bound, not MXU-bound).
+
+    Cull is two-level: a coarse slab test per GROUP_TRIS-triangle group
+    (one cond skips GROUP_TILES fine tiles), then a fine slab test per
+    TRI_TILE-triangle matmul tile.  With coherence-sorted ray blocks most
+    fine tiles miss, and the per-candidate epilogue -- the kernel's real
+    cost -- runs on ~an order of magnitude fewer triangles."""
     rayf = rayf_ref[:]
     d = rayf[:, 0:3]
     o = rayf[:, 6:9]
@@ -267,17 +290,16 @@ def _intersect_kernel(
     # a fully-dead block (common in late bounces) skips the tri loop.
     block_live = jnp.any(rayf[:, 9] > 0.0)
 
-    def tile_body(c, carry):
-        best_t, best_tri = carry
-
-        # --- tile cull: slab test against this tri tile's AABB ------------
-        row = aabb_ref[pl.ds(c, 1), :]  # [1, 8]
+    def slab_any(ref, i, best_t):
+        """Does ANY ray in the block enter AABB row i closer than its best?"""
+        row = ref[pl.ds(i, 1), :]  # [1, 8]
         t1 = (row[:, 0:3] - o) * inv
         t2 = (row[:, 3:6] - o) * inv
         tlo = jnp.max(jnp.minimum(t1, t2), axis=1, keepdims=True)
         thi = jnp.min(jnp.maximum(t1, t2), axis=1, keepdims=True)
-        any_hit = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
+        return jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
 
+    def tile_body(c, carry):
         def live(carry):
             best_t, best_tri = carry
             cols = pl.ds(pl.multiple_of(c * (4 * TRI_TILE), 4 * TRI_TILE), 4 * TRI_TILE)
@@ -320,16 +342,36 @@ def _intersect_kernel(
 
         if not USE_TILE_CULL:
             return live(carry)
+        any_hit = slab_any(aabb_ref, c, carry[0])
         return jax.lax.cond(any_hit, live, lambda cr: cr, carry)
+
+    def group_body(g, carry):
+        if GROUP_TILES == 1 or not USE_TILE_CULL:
+            # degenerate hierarchy: group == tile; skip the coarse level
+            return tile_body(g, carry)
+
+        def glive(carry):
+            return jax.lax.fori_loop(
+                0,
+                GROUP_TILES,
+                lambda k, cr: tile_body(g * GROUP_TILES + k, cr),
+                carry,
+            )
+
+        any_g = slab_any(gaabb_ref, g, carry[0])
+        return jax.lax.cond(any_g, glive, lambda cr: cr, carry)
 
     shape = (RAY_TILE, 1)
     init = (
         tlim_ref[:],
         jnp.full(shape, -1, jnp.int32),
     )
+    n_outer = num_groups if (GROUP_TILES > 1 and USE_TILE_CULL) else (
+        num_groups * GROUP_TILES
+    )
     best_t, best_tri = jax.lax.cond(
         block_live,
-        lambda cr: jax.lax.fori_loop(0, num_tri_tiles, tile_body, cr),
+        lambda cr: jax.lax.fori_loop(0, n_outer, group_body, cr),
         lambda cr: cr,
         init,
     )
@@ -347,6 +389,7 @@ def _intersect_kernel(
 def _run(
     features,
     tile_aabb,
+    group_aabb,
     center,
     ox, oy, oz, dx, dy, dz, active, t_limit,
     num_tris: int,
@@ -372,6 +415,40 @@ def _run(
     cxdy = osz * dxp - osx * dzp
     cxdz = osx * dyp - osy * dxp
     one = jnp.where(pad(active.astype(jnp.float32)) > 0, 1.0, 0.0)
+
+    # --- per-ray ROOT cull (the BVH root test, vectorized) ----------------
+    # A ray whose slab test provably misses the whole mesh AABB closer than
+    # its t_limit cannot produce a hit: zero its features exactly like a
+    # dead ray's.  Its kernel output (t = t_limit, tri = -1) is already the
+    # correct miss result, and -- crucially -- with sorting on, such rays
+    # share the dead-ray sentinel key, pack into all-dead trailing blocks,
+    # and skip the triangle loop entirely.  In object-in-a-box scenes most
+    # rays miss the root, so this removes whole rays from the MXU sweep the
+    # way the reference's BVH root node rejects them in one visit
+    # (src/intersections.cu:148-234).  The root AABB is derived from the
+    # tile AABBs themselves (same recentered frame, same arithmetic as the
+    # kernel's tile slab), so it is a conservative superset of every tile
+    # test the kernel would have run.
+    root_lo = jnp.min(tile_aabb[:, 0:3], axis=0)  # [3]
+    root_hi = jnp.max(tile_aabb[:, 3:6], axis=0)
+    tl = pad(t_limit, 0.0)
+    rinvx = 1.0 / jnp.where(dxp == 0.0, 1e-20, dxp)
+    rinvy = 1.0 / jnp.where(dyp == 0.0, 1e-20, dyp)
+    rinvz = 1.0 / jnp.where(dzp == 0.0, 1e-20, dzp)
+    rt1x, rt2x = (root_lo[0] - osx) * rinvx, (root_hi[0] - osx) * rinvx
+    rt1y, rt2y = (root_lo[1] - osy) * rinvy, (root_hi[1] - osy) * rinvy
+    rt1z, rt2z = (root_lo[2] - osz) * rinvz, (root_hi[2] - osz) * rinvz
+    rtlo = jnp.maximum(
+        jnp.maximum(jnp.minimum(rt1x, rt2x), jnp.minimum(rt1y, rt2y)),
+        jnp.minimum(rt1z, rt2z),
+    )
+    rthi = jnp.minimum(
+        jnp.minimum(jnp.maximum(rt1x, rt2x), jnp.maximum(rt1y, rt2y)),
+        jnp.maximum(rt1z, rt2z),
+    )
+    root_hit = (rthi >= rtlo) & (rthi > 0.0) & (rtlo < tl)
+    one = jnp.where(root_hit, one, 0.0)
+
     zero = jnp.zeros_like(one)
     # Inactive rays: zero features -> det = 0 -> no hits.
     rayf = jnp.stack(
@@ -404,10 +481,10 @@ def _run(
     num_ray_tiles = n_pad // RAY_TILE
     grid = (num_ray_tiles,)
 
-    def run_chunk(feat_c, aabb_c, tlim_c):
+    def run_chunk(feat_c, aabb_c, gaabb_c, tlim_c):
         """One pallas_call over a VMEM-resident feature chunk."""
-        num_tri_tiles = feat_c.shape[1] // (4 * TRI_TILE)
-        kern = functools.partial(_intersect_kernel, baby_eps, num_tri_tiles)
+        num_groups = feat_c.shape[1] // (4 * GROUP_TRIS)
+        kern = functools.partial(_intersect_kernel, baby_eps, num_groups)
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -417,6 +494,7 @@ def _run(
                 # full chunk tables resident in VMEM for the whole kernel
                 pl.BlockSpec(feat_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(aabb_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(gaabb_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -427,26 +505,27 @@ def _run(
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             ),
             interpret=interpret,
-        )(rayf, tlim_c, feat_c, aabb_c)
+        )(rayf, tlim_c, feat_c, aabb_c, gaabb_c)
 
     if padded_tris <= chunk_tris:
-        out_t, out_tri = run_chunk(features, tile_aabb, tlim)
+        out_t, out_tri = run_chunk(features, tile_aabb, group_aabb, tlim)
     else:
         # Chunked multi-call chain for >chunk_tris meshes: each chunk's
         # closest hit feeds the next chunk's t_limit so later chunks prune
         # against everything already found; merge keeps the global best.
         out_t, out_tri = tlim, None
-        tiles_per_chunk = max(1, chunk_tris // TRI_TILE)
-        chunk_tiles_sz = tiles_per_chunk * TRI_TILE
-        num_chunks = (padded_tris + chunk_tiles_sz - 1) // chunk_tiles_sz
+        groups_per_chunk = max(1, chunk_tris // GROUP_TRIS)
+        chunk_sz = groups_per_chunk * GROUP_TRIS
+        num_chunks = (padded_tris + chunk_sz - 1) // chunk_sz
         for ci in range(num_chunks):
-            c0 = ci * tiles_per_chunk
-            c1 = min(padded_tris // TRI_TILE, c0 + tiles_per_chunk)
-            feat_c = features[:, c0 * 4 * TRI_TILE : c1 * 4 * TRI_TILE]
-            aabb_c = tile_aabb[c0:c1]
-            t_c, tri_c = run_chunk(feat_c, aabb_c, out_t)
+            g0 = ci * groups_per_chunk
+            g1 = min(padded_tris // GROUP_TRIS, g0 + groups_per_chunk)
+            feat_c = features[:, g0 * 4 * GROUP_TRIS : g1 * 4 * GROUP_TRIS]
+            aabb_c = tile_aabb[g0 * GROUP_TILES : g1 * GROUP_TILES]
+            gaabb_c = group_aabb[g0:g1]
+            t_c, tri_c = run_chunk(feat_c, aabb_c, gaabb_c, out_t)
             better = tri_c >= 0  # kernel only reports hits closer than tlim
-            tri_glob = jnp.where(better, tri_c + c0 * TRI_TILE, -1)
+            tri_glob = jnp.where(better, tri_c + g0 * GROUP_TRIS, -1)
             if out_tri is None:
                 out_t, out_tri = t_c, tri_glob
             else:
@@ -487,6 +566,7 @@ def mesh_intersect_mxu(
     t, tri = _run(
         tables.features,
         tables.tile_aabb,
+        tables.group_aabb,
         tables.center,
         ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, t_limit,
         num_tris=num_tris,

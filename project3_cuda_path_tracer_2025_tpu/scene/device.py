@@ -272,7 +272,7 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
 
     if T > 0:
         mxu_tables = _mxu.build_mxu_tables(pos, nrm, uv, dpdu, dpdv, mat)
-        mxu_padded = ((T + _mxu.TRI_TILE - 1) // _mxu.TRI_TILE) * _mxu.TRI_TILE
+        mxu_padded = ((T + _mxu.GROUP_TRIS - 1) // _mxu.GROUP_TRIS) * _mxu.GROUP_TRIS
         flat_pos = pos.reshape(-1, 3)
         mesh_bounds = tuple(
             float(x) for x in np.concatenate(

@@ -12,7 +12,8 @@ from project3_cuda_path_tracer_2025_tpu.ops.intersect_mxu import (
     build_mxu_tables,
     mesh_intersect_mxu,
     resolve_attributes,
-    TRI_TILE,
+    GROUP_TILES,
+    GROUP_TRIS,
 )
 from project3_cuda_path_tracer_2025_tpu.scene.device import build_device_scene
 from project3_cuda_path_tracer_2025_tpu.utils.vec import Vec3
@@ -36,7 +37,9 @@ def test_mxu_matches_brute_force():
     rng = np.random.default_rng(21)
     scene = _random_mesh_scene(rng, n_tris=150)
     dev, static = build_device_scene(scene)
-    assert static.mxu_padded_tris == ((150 + TRI_TILE - 1) // TRI_TILE) * TRI_TILE
+    assert static.mxu_padded_tris == (
+        (150 + GROUP_TRIS - 1) // GROUP_TRIS
+    ) * GROUP_TRIS
 
     n = 700
     ro, rd = _rays(rng, n)
@@ -99,36 +102,39 @@ def test_mxu_chunked_matches_single():
     rng = np.random.default_rng(44)
     scene = _random_mesh_scene(rng, n_tris=150)
     dev, static = build_device_scene(scene)
-    # padded_tris is a multiple of TRI_TILE; chunk at one tile per chunk so
-    # the 150-tri scene (padded to >=TRI_TILE) still exercises the chain
-    # when TRI_TILE < padded_tris, and the merge logic in all cases.
+    # padded_tris is a multiple of GROUP_TRIS (the chunking unit); chunk at
+    # one group per chunk so the 150-tri scene (padded to >=GROUP_TRIS) still
+    # exercises the chain when GROUP_TRIS < padded_tris, and the merge logic
+    # in all cases.
     n = 500
     ro, rd = _rays(rng, n)
     active = jnp.asarray(rng.random(n) > 0.1)
     lim = jnp.full((n,), 3.4e38, jnp.float32)
 
-    args = (dev.mxu_mesh.features, dev.mxu_mesh.tile_aabb, dev.mxu_mesh.center,
+    args = (dev.mxu_mesh.features, dev.mxu_mesh.tile_aabb,
+            dev.mxu_mesh.group_aabb, dev.mxu_mesh.center,
             ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, lim)
     kw = dict(num_tris=static.num_triangles, padded_tris=static.mxu_padded_tris,
               baby_eps=CFG.baby_epsilon, interpret=True)
     single = m._run(*args, **kw)
-    # force chunking: one TRI_TILE per chunk (no-op if only one tile, so pad
-    # the scene up by rebuilding with more triangles in that case)
-    if static.mxu_padded_tris > TRI_TILE:
-        chunked = m._run(*args, chunk_tris=TRI_TILE, **kw)
+    # force chunking: one group per chunk (no-op if only one group, so pad
+    # the table up to two groups in that case)
+    if static.mxu_padded_tris > GROUP_TRIS:
+        chunked = m._run(*args, chunk_tris=GROUP_TRIS, **kw)
     else:
-        # synthesize a 2-tile table by repeating the features columns
+        # synthesize a 2-group table by repeating the features columns
         feats2 = jnp.concatenate(
             [dev.mxu_mesh.features, dev.mxu_mesh.features * 0.0], axis=1
         )
+        never = jnp.full((1, 8), 1e30, jnp.float32).at[0, 3:6].set(-1e30)
         aabb2 = jnp.concatenate(
-            [dev.mxu_mesh.tile_aabb,
-             jnp.full((1, 8), 1e30, jnp.float32).at[0, 3:6].set(-1e30)], axis=0
+            [dev.mxu_mesh.tile_aabb, jnp.tile(never, (GROUP_TILES, 1))], axis=0
         )
-        args2 = (feats2, aabb2) + args[2:]
-        kw2 = dict(kw, padded_tris=2 * TRI_TILE)
+        gaabb2 = jnp.concatenate([dev.mxu_mesh.group_aabb, never], axis=0)
+        args2 = (feats2, aabb2, gaabb2) + args[3:]
+        kw2 = dict(kw, padded_tris=2 * GROUP_TRIS)
         single = m._run(*args2, **kw2)
-        chunked = m._run(*args2, chunk_tris=TRI_TILE, **kw2)
+        chunked = m._run(*args2, chunk_tris=GROUP_TRIS, **kw2)
     for a, b in zip(single, chunked):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
