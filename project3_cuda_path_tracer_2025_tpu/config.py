@@ -85,6 +85,10 @@ class RenderConfig:
     ray_sorting: str = "auto"
     ray_sort_bits: int = 2
     ray_sort_dir_bits: int = 4
+    # Resort cadence for the PERSISTENT sort in the fused mesh path: 1 =
+    # every bounce; k = reuse the previous order for k-1 bounces (coherence
+    # goes stale but the argsort+gather wrapper cost amortizes).
+    ray_sort_every: int = 1
 
     # MXU-intersector attribute resolve: "gather" ([Tp,24] row gather, flat
     # cost -- measured faster at every size) or "onehot" (one-hot matmul,

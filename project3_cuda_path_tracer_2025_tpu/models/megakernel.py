@@ -74,8 +74,11 @@ def megakernel_iteration(
                 static, cfg, paths, su, interpret=fused_interpret
             )
         elif use_fused_mesh:
+            # d is a Python int (the bounce loop is unrolled when the fused
+            # mesh path is active); resort every ray_sort_every bounces.
             paths = fused.fused_mesh_bounce(
-                dev, static, cfg, paths, su, interpret=fused_interpret
+                dev, static, cfg, paths, su, interpret=fused_interpret,
+                resort=(d % max(1, cfg.ray_sort_every) == 0),
             )
         else:
             isect = intersect_scene(dev, static, paths, cfg)
@@ -92,6 +95,8 @@ def megakernel_iteration(
     # fori(while(...)) nesting of mesh traversal has shown pathological
     # compile behavior, so mesh scenes stay unrolled too.
     unroll = cfg.unroll_bounces if cfg.unroll_bounces is not None else True
+    if use_fused_mesh:
+        unroll = True  # persistent sorting keys resort on the Python bounce id
     carry = (paths, jnp.zeros((depth,), jnp.int32))
     if unroll:
         for d in range(depth):
@@ -100,5 +105,7 @@ def megakernel_iteration(
     else:
         paths, alive_counts = jax.lax.fori_loop(0, depth, bounce, carry)
 
-    film = film_ops.accumulate(film, paths)
+    # The fused mesh path keeps paths persistently sorted; pixel ids ride
+    # along, so the film scatter-adds by pixel (one ray per pixel -> exact).
+    film = film_ops.accumulate(film, paths, permuted=use_fused_mesh)
     return film, alive_counts

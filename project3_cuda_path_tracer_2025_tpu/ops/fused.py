@@ -38,7 +38,9 @@ from . import shade as shade_ops
 from .intersect import intersect_scene
 from .rays import PathState
 
-BLOCK_ROWS = 64  # rays per block = BLOCK_ROWS * 128
+import os
+
+BLOCK_ROWS = int(os.environ.get("PTT_BLOCK_ROWS", "64"))  # rays/block = this * 128
 
 
 def _const_material_params(static: SceneStatic, mid: jnp.ndarray):
@@ -319,6 +321,31 @@ def fused_mesh_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
     )
 
 
+def _permute_bounce_state(paths, t_lim, perm):
+    """Apply a sort permutation to the whole path state with one packed f32
+    row gather ([N, 10]) plus one i32 row gather ([N, 2]) -- far faster than
+    12 separate [N] gathers on TPU.  Ints stay integer: bitcasting small
+    ints to f32 makes denormals, which TPU float paths flush to 0."""
+    m = jnp.stack(
+        [
+            paths.origin.x, paths.origin.y, paths.origin.z,
+            paths.direction.x, paths.direction.y, paths.direction.z,
+            paths.color.x, paths.color.y, paths.color.z,
+            t_lim,
+        ],
+        axis=1,
+    )[perm]
+    mi = jnp.stack([paths.pixel, paths.bounces], axis=1)[perm]
+    paths = PathState(
+        origin=Vec3(m[:, 0], m[:, 1], m[:, 2]),
+        direction=Vec3(m[:, 3], m[:, 4], m[:, 5]),
+        color=Vec3(m[:, 6], m[:, 7], m[:, 8]),
+        pixel=mi[:, 0],
+        bounces=mi[:, 1],
+    )
+    return paths, m[:, 9]
+
+
 def fused_mesh_bounce(
     dev,
     static: SceneStatic,
@@ -326,42 +353,65 @@ def fused_mesh_bounce(
     paths: PathState,
     uniforms: jnp.ndarray,  # [3, N]
     interpret: bool = False,
+    resort: bool = True,
 ) -> PathState:
     """One full mesh-scene bounce: prim-t prepass + sorted MXU intersect +
     attr resolve/interp (XLA) + the fused prim-intersect/merge/shade kernel.
 
+    Ray-coherence sorting is PERSISTENT (round 2): the whole bounce state is
+    permuted once up front and every stage runs in sorted order -- there is
+    no per-stage scatter-back; pixel ids ride along and the film scatter-adds
+    by pixel at iteration end (``film_ops.accumulate(permuted=True)``).
+    ``resort=False`` reuses the previous bounce's order (rays move between
+    bounces so coherence goes stale, but the kernel's per-bounce root cull
+    stays exact) -- see ``RenderConfig.ray_sort_every``.
+
     Bit-compatible with the unfused path up to Mosaic float re-association
-    (same RNG planes, same mesh kernel, same shade formulas)."""
+    (same RNG planes, same mesh kernel, same shade formulas); every op
+    downstream of the permutation is elementwise per ray, so per-pixel
+    results are independent of the sort toggle."""
     import dataclasses
 
     from . import intersect_mxu
     from .intersect import prim_t_min
 
-    ro, rd = paths.origin, paths.direction
-    t_lim = prim_t_min(static, cfg, ro, rd)
+    t_lim = prim_t_min(static, cfg, paths.origin, paths.direction)
 
     sort_rays = cfg.ray_sorting == "on" or (
         cfg.ray_sorting == "auto" and jax.default_backend() != "cpu"
     )
+    if sort_rays:
+        if resort:
+            perm = intersect_mxu.coherence_perm(
+                dev.mxu_mesh, paths.origin, paths.direction, paths.alive,
+                t_lim, cfg.ray_sort_bits, cfg.ray_sort_dir_bits,
+            )
+            paths, t_lim = _permute_bounce_state(paths, t_lim, perm)
+        # Per-pixel RNG: a slot's random stream follows its PIXEL (paths may
+        # arrive permuted from earlier bounces, so index by pixel id, never
+        # by this bounce's perm).  One [N, 3] row gather.
+        su = jnp.stack([uniforms[0], uniforms[1], uniforms[2]], axis=1)
+        su = su[paths.pixel]
+        uniforms = jnp.stack([su[:, 0], su[:, 1], su[:, 2]])
+
+    ro, rd = paths.origin, paths.direction
     mh = intersect_mxu.mesh_intersect_mxu(
         dev.mxu_mesh,
         static.num_triangles,
         static.mxu_padded_tris,
         ro, rd, paths.alive, t_lim,
         cfg.baby_epsilon,
-        sort_rays=sort_rays,
-        sort_bits=cfg.ray_sort_bits,
-        sort_dir_bits=cfg.ray_sort_dir_bits,
+        sort_rays=False,  # persistent: state is already in sorted order
         mesh_bounds=static.mesh_bounds,
         interpret=interpret,
         compute_uv=False,
     )
-    at = intersect_mxu.resolve_attributes(
-        dev.mxu_mesh, static.mxu_padded_tris, mh.tri, mode=cfg.mxu_attr_resolve
+    at = intersect_mxu.resolve_shade_attributes(
+        dev.mxu_mesh, static.mxu_padded_tris, mh.tri
     )
-    uu, vv = intersect_mxu.winner_uv(
-        dev.mxu_mesh, static.mxu_padded_tris, mh.tri, ro, rd,
-        cfg.baby_epsilon, attr_rows=at,
+    uu, vv = intersect_mxu.winner_uv_from_geom(
+        at[:, 10:13], at[:, 13:16], at[:, 16:19], mh.tri, ro, rd,
+        cfg.baby_epsilon,
     )
     w = 1.0 - uu - vv
     n0 = Vec3(at[:, 0], at[:, 1], at[:, 2])
@@ -371,7 +421,7 @@ def fused_mesh_bounce(
     mesh_normal = vec.normalize(n0 * w + n1 * uu + n2 * vv)
     # Miss rows are all-zero -> normalize would NaN; mask them out.
     mesh_normal = vec.where(tri_hit, mesh_normal, Vec3.zeros(uu.shape))
-    mesh_mat = jnp.where(tri_hit, at[:, 21].astype(jnp.int32), -1)
+    mesh_mat = jnp.where(tri_hit, at[:, 9].astype(jnp.int32), -1)
 
     prim_static = dataclasses.replace(static, num_triangles=0)
     return _fused_mesh_shade(

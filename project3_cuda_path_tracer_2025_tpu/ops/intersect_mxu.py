@@ -80,6 +80,9 @@ class MXUMeshTables(NamedTuple):
     # n0 n1 n2 (9) uv0 uv1 uv2 (6) dpdu dpdv (6) mat (1) pad (2)
     # v0 (3) e1 (3) e2 (3) pad (7)  -- geometry for winner (u,v) recompute
     attrs: jnp.ndarray  # [Tp, 40] f32
+    # Slim row table for the untextured fused path (gather cost scales with
+    # row width): n0 n1 n2 (9) mat (1) v0 e1 e2 (9) pad (5)
+    attrs_shade: jnp.ndarray  # [Tp, 24] f32
     center: jnp.ndarray  # [3] scene recentering offset
 
 
@@ -175,11 +178,17 @@ def build_mxu_tables(
     attrs[:t, 27:30] = pos[:, 1] - pos[:, 0]
     attrs[:t, 30:33] = pos[:, 2] - pos[:, 0]
 
+    attrs_shade = np.zeros((tp, 24), np.float32)
+    attrs_shade[:, 0:9] = attrs[:, 0:9]  # vertex normals
+    attrs_shade[:, 9] = attrs[:, 21]  # material id
+    attrs_shade[:, 10:19] = attrs[:, 24:33]  # v0, e1, e2
+
     return MXUMeshTables(
         features=jnp.asarray(feat),
         tile_aabb=jnp.asarray(tile_aabb),
         group_aabb=jnp.asarray(group_aabb),
         attrs=jnp.asarray(attrs),
+        attrs_shade=jnp.asarray(attrs_shade),
         center=jnp.asarray(center),
     )
 
@@ -191,8 +200,42 @@ def dummy_mxu_tables() -> MXUMeshTables:
         tile_aabb=jnp.tile(never, (GROUP_TILES, 1)),
         group_aabb=never,
         attrs=jnp.zeros((GROUP_TRIS, 40), jnp.float32),
+        attrs_shade=jnp.zeros((GROUP_TRIS, 24), jnp.float32),
         center=jnp.zeros((3,), jnp.float32),
     )
+
+
+def root_hit_mask(
+    tile_aabb: jnp.ndarray,
+    center: jnp.ndarray,
+    ox, oy, oz, dx, dy, dz,
+    t_limit: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-ray BVH-root test: can the ray enter the mesh's root AABB closer
+    than its t_limit?  The root AABB is the envelope of the tile AABBs (same
+    recentered frame, same slab arithmetic as the kernel's tile cull), so a
+    False here is conservative: every tile test the kernel would run is
+    guaranteed to fail too (slab bounds are monotone in the box bounds).
+    The reference's BVH rejects such rays at its root node in one visit
+    (src/intersections.cu:148-234); this is that test, vectorized."""
+    root_lo = jnp.min(tile_aabb[:, 0:3], axis=0)  # [3]
+    root_hi = jnp.max(tile_aabb[:, 3:6], axis=0)
+    osx, osy, osz = ox - center[0], oy - center[1], oz - center[2]
+    invx = 1.0 / jnp.where(dx == 0.0, 1e-20, dx)
+    invy = 1.0 / jnp.where(dy == 0.0, 1e-20, dy)
+    invz = 1.0 / jnp.where(dz == 0.0, 1e-20, dz)
+    t1x, t2x = (root_lo[0] - osx) * invx, (root_hi[0] - osx) * invx
+    t1y, t2y = (root_lo[1] - osy) * invy, (root_hi[1] - osy) * invy
+    t1z, t2z = (root_lo[2] - osz) * invz, (root_hi[2] - osz) * invz
+    tlo = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    thi = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    return (thi >= tlo) & (thi > 0.0) & (tlo < t_limit)
 
 
 def _morton_spread3(v: jnp.ndarray) -> jnp.ndarray:
@@ -257,6 +300,36 @@ def _coherence_keys(
 
     key = (pos_code << (3 * dir_bits)) | dir_code
     return jnp.where(live > 0.0, key, jnp.int32(1 << 30))
+
+
+def coherence_perm(
+    tables: MXUMeshTables,
+    ro: Vec3,
+    rd: Vec3,
+    active: jnp.ndarray,
+    t_limit: jnp.ndarray,
+    sort_bits: int,
+    sort_dir_bits: int,
+) -> jnp.ndarray:
+    """Coherence-sort permutation for PERSISTENT sorting: callers permute
+    the whole bounce state once (paths, uniforms, t_limit) and run every
+    downstream stage -- this kernel with ``sort_rays=False``, attr resolve,
+    the fused shade -- in sorted order, never scattering back (the film
+    scatter-adds by pixel id at iteration end).  Root-missing rays share the
+    dead-ray sentinel key so they pack into skippable trailing blocks."""
+    root = root_hit_mask(
+        tables.tile_aabb, tables.center, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
+        t_limit,
+    )
+    live = (active & root).astype(jnp.float32)
+    c = tables.center
+    lo = jnp.min(tables.tile_aabb[:, 0:3], axis=0)
+    hi = jnp.max(tables.tile_aabb[:, 3:6], axis=0)
+    key = _coherence_keys(
+        ro.x - c[0], ro.y - c[1], ro.z - c[2],
+        rd.x, rd.y, rd.z, live, lo, hi, sort_bits, sort_dir_bits,
+    )
+    return jnp.argsort(key)
 
 
 def _intersect_kernel(
@@ -406,6 +479,19 @@ def _run(
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
     pad = lambda x, fill=0.0: jnp.pad(x, (0, n_pad - n), constant_values=fill)
 
+    # --- per-ray ROOT cull (the BVH root test, vectorized) ----------------
+    # A ray whose slab test provably misses the whole mesh AABB closer than
+    # its t_limit cannot produce a hit: zero its features exactly like a
+    # dead ray's.  Its kernel output (t = t_limit, tri = -1) is already the
+    # correct miss result, and -- crucially -- with sorting on, such rays
+    # share the dead-ray sentinel key, pack into all-dead trailing blocks,
+    # and skip the triangle loop entirely.  In object-in-a-box scenes most
+    # rays miss the root (measured 78-90% per bounce on cornell_mesh_5k),
+    # so this removes whole rays from the MXU sweep the way the reference's
+    # BVH root node rejects them in one visit.
+    root = root_hit_mask(tile_aabb, center, ox, oy, oz, dx, dy, dz, t_limit)
+    active = active & root
+
     osx = pad(ox) - center[0]
     osy = pad(oy) - center[1]
     osz = pad(oz) - center[2]
@@ -415,40 +501,6 @@ def _run(
     cxdy = osz * dxp - osx * dzp
     cxdz = osx * dyp - osy * dxp
     one = jnp.where(pad(active.astype(jnp.float32)) > 0, 1.0, 0.0)
-
-    # --- per-ray ROOT cull (the BVH root test, vectorized) ----------------
-    # A ray whose slab test provably misses the whole mesh AABB closer than
-    # its t_limit cannot produce a hit: zero its features exactly like a
-    # dead ray's.  Its kernel output (t = t_limit, tri = -1) is already the
-    # correct miss result, and -- crucially -- with sorting on, such rays
-    # share the dead-ray sentinel key, pack into all-dead trailing blocks,
-    # and skip the triangle loop entirely.  In object-in-a-box scenes most
-    # rays miss the root, so this removes whole rays from the MXU sweep the
-    # way the reference's BVH root node rejects them in one visit
-    # (src/intersections.cu:148-234).  The root AABB is derived from the
-    # tile AABBs themselves (same recentered frame, same arithmetic as the
-    # kernel's tile slab), so it is a conservative superset of every tile
-    # test the kernel would have run.
-    root_lo = jnp.min(tile_aabb[:, 0:3], axis=0)  # [3]
-    root_hi = jnp.max(tile_aabb[:, 3:6], axis=0)
-    tl = pad(t_limit, 0.0)
-    rinvx = 1.0 / jnp.where(dxp == 0.0, 1e-20, dxp)
-    rinvy = 1.0 / jnp.where(dyp == 0.0, 1e-20, dyp)
-    rinvz = 1.0 / jnp.where(dzp == 0.0, 1e-20, dzp)
-    rt1x, rt2x = (root_lo[0] - osx) * rinvx, (root_hi[0] - osx) * rinvx
-    rt1y, rt2y = (root_lo[1] - osy) * rinvy, (root_hi[1] - osy) * rinvy
-    rt1z, rt2z = (root_lo[2] - osz) * rinvz, (root_hi[2] - osz) * rinvz
-    rtlo = jnp.maximum(
-        jnp.maximum(jnp.minimum(rt1x, rt2x), jnp.minimum(rt1y, rt2y)),
-        jnp.minimum(rt1z, rt2z),
-    )
-    rthi = jnp.minimum(
-        jnp.minimum(jnp.maximum(rt1x, rt2x), jnp.maximum(rt1y, rt2y)),
-        jnp.maximum(rt1z, rt2z),
-    )
-    root_hit = (rthi >= rtlo) & (rthi > 0.0) & (rtlo < tl)
-    one = jnp.where(root_hit, one, 0.0)
-
     zero = jnp.zeros_like(one)
     # Inactive rays: zero features -> det = 0 -> no hits.
     rayf = jnp.stack(
@@ -598,9 +650,14 @@ def winner_uv(
     gather; reuse ``attr_rows`` if the caller already resolved attributes)."""
     if attr_rows is None:
         attr_rows = resolve_attributes(tables, padded_tris, tri, mode="gather")
-    v0 = attr_rows[:, 24:27]
-    e1 = attr_rows[:, 27:30]
-    e2 = attr_rows[:, 30:33]
+    return winner_uv_from_geom(
+        attr_rows[:, 24:27], attr_rows[:, 27:30], attr_rows[:, 30:33],
+        tri, ro, rd, baby_eps,
+    )
+
+
+def winner_uv_from_geom(v0, e1, e2, tri, ro, rd, baby_eps):
+    """(u, v) of the winning triangle from its (v0, e1, e2) rows."""
     d = jnp.stack([rd.x, rd.y, rd.z], axis=-1)
     o = jnp.stack([ro.x, ro.y, ro.z], axis=-1)
     pvec = jnp.cross(d, e2)
@@ -635,3 +692,15 @@ def resolve_attributes(
     onehot = jax.nn.one_hot(jnp.where(tri >= 0, safe, tp), tp, dtype=jnp.float32)
     # note: tri == -1 maps past the table -> one_hot gives an all-zero row
     return jnp.dot(onehot, tables.attrs, preferred_element_type=jnp.float32)
+
+
+def resolve_shade_attributes(
+    tables: MXUMeshTables, padded_tris: int, tri: jnp.ndarray
+):
+    """Slim per-ray rows for the untextured fused path: [N, 24] with
+    n0 n1 n2 (0:9), mat (9), v0 e1 e2 (10:19).  40% less gather traffic
+    than the full attrs rows."""
+    tp = padded_tris
+    safe = jnp.clip(tri, 0, tp - 1)
+    rows = tables.attrs_shade[safe]
+    return jnp.where((tri >= 0)[:, None], rows, 0.0)

@@ -60,6 +60,31 @@ def test_fused_mesh_matches_unfused(repo_root):
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
 
 
+def test_fused_mesh_persistent_sort_invariant(repo_root):
+    """Persistent ray-coherence sorting (paths stay permuted across the
+    bounce; film scatter-adds by pixel) must not change any pixel: every op
+    downstream of the permutation is elementwise per ray."""
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_mesh_5k.json")), 12, 12
+    )
+    mesh.state.trace_depth = 3
+    base = RenderConfig(mesh_intersector="mxu", fused_bounce="on")
+    import dataclasses
+
+    a = Renderer(mesh, dataclasses.replace(base, ray_sorting="off"))
+    b = Renderer(mesh, dataclasses.replace(base, ray_sorting="on"))
+    c = Renderer(
+        mesh, dataclasses.replace(base, ray_sorting="on", ray_sort_every=2)
+    )
+    for _ in range(2):
+        a.step()
+        b.step()
+        c.step()
+    np.testing.assert_array_equal(a.image(), b.image())
+    np.testing.assert_array_equal(a.image(), c.image())
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+
+
 def test_fused_auto_off_on_cpu(cornell_tiny):
     """auto must not select the (interpreted, slow) kernel on CPU."""
     import time
