@@ -68,19 +68,24 @@ def megakernel_iteration(
 
     def bounce(d, carry):
         paths, alive_counts = carry
-        su = prng.uniforms(prng.stage_key(ikey, d, 1), n, 3)
+        skey = prng.stage_key(ikey, d, 1)
         if use_fused:
+            su = prng.uniforms(skey, n, 3)
             paths = fused.fused_prim_bounce(
                 static, cfg, paths, su, interpret=fused_interpret
             )
         elif use_fused_mesh:
             # d is a Python int (the bounce loop is unrolled when the fused
             # mesh path is active); resort every ray_sort_every bounces.
+            # Uniforms are drawn inside, elementwise at each slot's pixel id
+            # (gather-free, permutation-invariant).
             paths = fused.fused_mesh_bounce(
-                dev, static, cfg, paths, su, interpret=fused_interpret,
+                dev, static, cfg, paths, su_key=skey,
+                interpret=fused_interpret,
                 resort=(d % max(1, cfg.ray_sort_every) == 0),
             )
         else:
+            su = prng.uniforms(skey, n, 3)
             isect = intersect_scene(dev, static, paths, cfg)
             paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
         alive_counts = alive_counts.at[d].set(

@@ -60,10 +60,11 @@ def wavefront_iteration(
                 paths, isect, static.num_materials
             )
 
-        # Per-pixel RNG: draw in pixel order, gather through the current
-        # permutation so a ray's random stream is permutation-invariant.
-        su = prng.uniforms(prng.stage_key(ikey, d, 1), n, 3)
-        su = su[:, paths.pixel]
+        # Per-pixel RNG evaluated elementwise at each slot's pixel id: a
+        # ray's random stream is permutation-invariant by construction and
+        # no gather through the compaction/sort permutation is needed
+        # (bit-identical to drawing in pixel order and gathering).
+        su = prng.uniforms_at(prng.stage_key(ikey, d, 1), paths.pixel, 3, n)
         paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
 
         if cfg.stream_compaction:

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..scene.device import SceneStatic
+from ..utils import prng
 from ..utils import vec
 from ..utils.vec import Vec3
 from . import shade as shade_ops
@@ -322,26 +323,37 @@ def fused_mesh_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
 
 
 def _permute_bounce_state(paths, t_lim, perm):
-    """Apply a sort permutation to the whole path state with one packed f32
-    row gather ([N, 10]) plus one i32 row gather ([N, 2]) -- far faster than
-    12 separate [N] gathers on TPU.  Ints stay integer: bitcasting small
-    ints to f32 makes denormals, which TPU float paths flush to 0."""
-    m = jnp.stack(
-        [
-            paths.origin.x, paths.origin.y, paths.origin.z,
-            paths.direction.x, paths.direction.y, paths.direction.z,
-            paths.color.x, paths.color.y, paths.color.z,
-            t_lim,
-        ],
-        axis=1,
-    )[perm]
-    mi = jnp.stack([paths.pixel, paths.bounces], axis=1)[perm]
+    """Apply a sort permutation to the whole path state with ONE packed
+    [N, 12] f32 row gather -- far faster than 12 separate [N] gathers on
+    TPU.  Small ints ride as VALUE-cast f32 (exact below 2**24; bitcasting
+    would make denormals, which TPU float paths flush to 0); above that the
+    ints take a separate i32 row gather."""
+    n = paths.pixel.shape[0]
+    cols = [
+        paths.origin.x, paths.origin.y, paths.origin.z,
+        paths.direction.x, paths.direction.y, paths.direction.z,
+        paths.color.x, paths.color.y, paths.color.z,
+        t_lim,
+    ]
+    ints_fit = n < (1 << 24)
+    if ints_fit:
+        cols += [
+            paths.pixel.astype(jnp.float32),
+            paths.bounces.astype(jnp.float32),
+        ]
+    m = jnp.stack(cols, axis=1)[perm]
+    if ints_fit:
+        pixel = m[:, 10].astype(jnp.int32)
+        bounces = m[:, 11].astype(jnp.int32)
+    else:
+        mi = jnp.stack([paths.pixel, paths.bounces], axis=1)[perm]
+        pixel, bounces = mi[:, 0], mi[:, 1]
     paths = PathState(
         origin=Vec3(m[:, 0], m[:, 1], m[:, 2]),
         direction=Vec3(m[:, 3], m[:, 4], m[:, 5]),
         color=Vec3(m[:, 6], m[:, 7], m[:, 8]),
-        pixel=mi[:, 0],
-        bounces=mi[:, 1],
+        pixel=pixel,
+        bounces=bounces,
     )
     return paths, m[:, 9]
 
@@ -351,9 +363,10 @@ def fused_mesh_bounce(
     static: SceneStatic,
     cfg: RenderConfig,
     paths: PathState,
-    uniforms: jnp.ndarray,  # [3, N]
+    uniforms: jnp.ndarray = None,  # [3, N] pixel-order planes (su_key=None)
     interpret: bool = False,
     resort: bool = True,
+    su_key: jax.Array = None,  # stage key: draw per-pixel uniforms in place
 ) -> PathState:
     """One full mesh-scene bounce: prim-t prepass + sorted MXU intersect +
     attr resolve/interp (XLA) + the fused prim-intersect/merge/shade kernel.
@@ -380,16 +393,21 @@ def fused_mesh_bounce(
     sort_rays = cfg.ray_sorting == "on" or (
         cfg.ray_sorting == "auto" and jax.default_backend() != "cpu"
     )
-    if sort_rays:
-        if resort:
-            perm = intersect_mxu.coherence_perm(
-                dev.mxu_mesh, paths.origin, paths.direction, paths.alive,
-                t_lim, cfg.ray_sort_bits, cfg.ray_sort_dir_bits,
-            )
-            paths, t_lim = _permute_bounce_state(paths, t_lim, perm)
-        # Per-pixel RNG: a slot's random stream follows its PIXEL (paths may
-        # arrive permuted from earlier bounces, so index by pixel id, never
-        # by this bounce's perm).  One [N, 3] row gather.
+    if sort_rays and resort:
+        perm = intersect_mxu.coherence_perm(
+            dev.mxu_mesh, paths.origin, paths.direction, paths.alive,
+            t_lim, cfg.ray_sort_bits, cfg.ray_sort_dir_bits,
+        )
+        paths, t_lim = _permute_bounce_state(paths, t_lim, perm)
+    if su_key is not None:
+        # Per-pixel RNG evaluated IN PLACE at each slot's pixel id (a slot's
+        # random stream follows its PIXEL, so any permutation history is
+        # invisible): elementwise threefry, no gather.
+        n = paths.pixel.shape[0]
+        uniforms = prng.uniforms_at(su_key, paths.pixel, 3, n)
+    elif sort_rays:
+        # Pixel-order planes were passed: route them through the (possibly
+        # historical) permutation with one [N, 3] row gather.
         su = jnp.stack([uniforms[0], uniforms[1], uniforms[2]], axis=1)
         su = su[paths.pixel]
         uniforms = jnp.stack([su[:, 0], su[:, 1], su[:, 2]])

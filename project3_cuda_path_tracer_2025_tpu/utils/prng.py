@@ -35,3 +35,40 @@ def uniforms(key: jax.Array, n: int, k: int) -> jax.Array:
     [k, n] rather than [n, k] so each draw is a contiguous lanes-major row.
     """
     return jax.random.uniform(key, (k, n), dtype=jnp.float32)
+
+
+def _threefry_bits_at(key: jax.Array, flat: jnp.ndarray) -> jnp.ndarray:
+    """uint32 random bits at explicit flat counter positions -- bit-identical
+    to ``jax.random.uniform(key, shape)``'s bits at the same flat indices
+    (partitionable threefry: the 64-bit counter IS the flat index, so bits
+    are a pure elementwise function of it; asserted in tests/test_prng.py).
+    """
+    from jax._src import prng as _jprng
+
+    kd = jax.random.key_data(key)
+    b1, b2 = _jprng.threefry2x32_p.bind(
+        kd[0], kd[1], jnp.zeros_like(flat), flat
+    )
+    return b1 ^ b2
+
+
+def uniforms_at(key: jax.Array, idx: jnp.ndarray, k: int, n: int) -> jax.Array:
+    """The rows ``uniforms(key, n, k)[:, idx]`` WITHOUT the gather.
+
+    Counter-based threefry makes each draw a pure elementwise function of its
+    flat counter ``j * n + idx``, so a permuted integrator (wavefront
+    compaction/sort, the fused mesh path's persistent coherence sort) can
+    evaluate a slot's per-PIXEL random stream in place -- this is what makes
+    every integrator/toggle combination bit-identical (the reference reseeds
+    per (iter, pixel, depth) the same way, ``src/pathtrace.cu:51-56``).
+    TPU-first: replaces a [n, k] row gather (~7 ms at 640k rays) with ~40
+    vector int ops per lane, which XLA fuses into neighbors."""
+    outs = []
+    for j in range(k):
+        flat = jnp.uint32(j * n) + idx.astype(jnp.uint32)
+        bits = _threefry_bits_at(key, flat)
+        u = jax.lax.bitcast_convert_type(
+            (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32
+        ) - 1.0
+        outs.append(jnp.maximum(0.0, u))
+    return jnp.stack(outs)
