@@ -22,30 +22,64 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from ..utils import vec
+from ..utils.vec import Vec3
 from . import scan as scan_ops
 from .rays import Intersections, PathState
 
 
 def _apply_permutation(paths: PathState, perm: jnp.ndarray) -> PathState:
+    """One packed [N, 11] f32 row gather instead of 11 separate [N] gathers
+    (TPU gathers pay per launch, not per element at these row widths; the
+    same packing carries the fused mesh path's persistent sort).  Small ints
+    ride as VALUE-cast f32 -- exact below 2**24 lanes; past that they fall
+    back to their own i32 gathers."""
+    n = paths.pixel.shape[0]
+    ints_fit = n < (1 << 24)
+    cols = [
+        paths.origin.x, paths.origin.y, paths.origin.z,
+        paths.direction.x, paths.direction.y, paths.direction.z,
+        paths.color.x, paths.color.y, paths.color.z,
+    ]
+    if ints_fit:
+        cols += [
+            paths.pixel.astype(jnp.float32),
+            paths.bounces.astype(jnp.float32),
+        ]
+    m = jnp.stack(cols, axis=1)[perm]
+    if ints_fit:
+        pixel = m[:, 9].astype(jnp.int32)
+        bounces = m[:, 10].astype(jnp.int32)
+    else:
+        pixel = paths.pixel[perm]
+        bounces = paths.bounces[perm]
     return PathState(
-        origin=vec.select_gather(paths.origin, perm),
-        direction=vec.select_gather(paths.direction, perm),
-        color=vec.select_gather(paths.color, perm),
-        pixel=paths.pixel[perm],
-        bounces=paths.bounces[perm],
+        origin=Vec3(m[:, 0], m[:, 1], m[:, 2]),
+        direction=Vec3(m[:, 3], m[:, 4], m[:, 5]),
+        color=Vec3(m[:, 6], m[:, 7], m[:, 8]),
+        pixel=pixel,
+        bounces=bounces,
     )
 
 
 def _apply_permutation_isect(isect: Intersections, perm: jnp.ndarray) -> Intersections:
+    """Per-field gathers, deliberately NOT packed like ``_apply_permutation``:
+    packing the intersection SoA changes XLA's downstream fusion/FMA
+    contraction in ``shade`` and breaks the material-sort toggle's bitwise
+    A/B with the megakernel (measured 1-ulp diffs).  Material sorting is a
+    parity toggle, unprofitable on both the reference and here, so it keeps
+    exactness over gather count."""
+
+    def g3(v: Vec3) -> Vec3:
+        return Vec3(v.x[perm], v.y[perm], v.z[perm])
+
     return Intersections(
         t=isect.t[perm],
-        normal=vec.select_gather(isect.normal, perm),
+        normal=g3(isect.normal),
         material_id=isect.material_id[perm],
         uv_u=isect.uv_u[perm],
         uv_v=isect.uv_v[perm],
-        dpdu=vec.select_gather(isect.dpdu, perm),
-        dpdv=vec.select_gather(isect.dpdv, perm),
+        dpdu=g3(isect.dpdu),
+        dpdv=g3(isect.dpdv),
         is_triangle=isect.is_triangle[perm],
     )
 
