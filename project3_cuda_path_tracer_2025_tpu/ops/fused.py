@@ -201,13 +201,20 @@ def fused_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
 def _mesh_bounce_kernel(
     prim_static: SceneStatic,  # static with num_triangles=0 (prims only)
     cfg: RenderConfig,
-    # refs: inputs
-    ox, oy, oz, dx, dy, dz, cr, cg, cb, bn,
-    mt, mnx, mny, mnz, mmat,
-    u0, u1, u2,
-    # refs: outputs
-    o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_cr, o_cg, o_cb, o_bn,
+    textured: bool,
+    # refs: inputs (mar/mag/mab present only when textured)
+    *refs,
 ):
+    if textured:
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, bn,
+         mt, mnx, mny, mnz, mmat, mar, mag, mab,
+         u0, u1, u2,
+         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_cr, o_cg, o_cb, o_bn) = refs
+    else:
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, bn,
+         mt, mnx, mny, mnz, mmat,
+         u0, u1, u2,
+         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_cr, o_cg, o_cb, o_bn) = refs
     paths = PathState(
         origin=Vec3(ox[:], oy[:], oz[:]),
         direction=Vec3(dx[:], dy[:], dz[:]),
@@ -223,8 +230,11 @@ def _mesh_bounce_kernel(
     mesh_mat = mmat[:]
     tri_hit = mesh_mat >= 0
     mn = Vec3(mnx[:], mny[:], mnz[:])
-    flip = vec.dot(paths.direction, mn) > 0.0
-    mn = vec.where(flip, -mn, mn)
+    if not textured:
+        # Textured mode passes the final mesh SHADING normal (already
+        # oriented + bump-perturbed in the XLA surface stage).
+        flip = vec.dot(paths.direction, mn) > 0.0
+        mn = vec.where(flip, -mn, mn)
 
     t = jnp.where(tri_hit, mt[:], isect_p.t)
     normal = vec.where(tri_hit, mn, isect_p.normal)
@@ -234,12 +244,17 @@ def _mesh_bounce_kernel(
     albedo, emitt, refl, refr, ior, rough, metal = _const_material_params(
         prim_static, mid
     )
+    if textured:
+        # Mesh lanes: texture-overridden albedo from the XLA surface stage.
+        # Prim lanes keep const-chain albedo (the fused gate guarantees no
+        # prim material has a texture or bump map).
+        albedo = vec.where(tri_hit, Vec3(mar[:], mag[:], mab[:]), albedo)
     isect = isect_p._replace(t=t, normal=normal, material_id=mat)
     out = shade_ops.scatter_compose(
         cfg,
         paths,
         isect,
-        normal,  # no bump maps in the fused path
+        normal,
         albedo, emitt, refl, refr, ior, rough, metal,
         (u0[:], u1[:], u2[:]),
         lobes=shade_ops.lobes_present(prim_static),
@@ -265,11 +280,13 @@ def _fused_mesh_shade(
     mesh_normal: Vec3,
     mesh_mat: jnp.ndarray,  # i32, -1 = no mesh hit
     uniforms: jnp.ndarray,  # [3, N]
+    mesh_albedo: Vec3 = None,  # textured scenes: per-lane mesh albedo
     interpret: bool = False,
 ) -> PathState:
     n = paths.pixel.shape[0]
     block = BLOCK_ROWS * 128
     n_pad = ((n + block - 1) // block) * block
+    textured = mesh_albedo is not None
 
     def prep(x, fill=0):
         return jnp.pad(x, (0, n_pad - n), constant_values=fill).reshape(-1, 128)
@@ -282,13 +299,15 @@ def _fused_mesh_shade(
         prep(paths.bounces),
         prep(mesh_t), prep(mesh_normal.x), prep(mesh_normal.y),
         prep(mesh_normal.z), prep(mesh_mat, fill=-1),
-        prep(uniforms[0]), prep(uniforms[1]), prep(uniforms[2]),
     ]
+    if textured:
+        ins += [prep(mesh_albedo.x), prep(mesh_albedo.y), prep(mesh_albedo.z)]
+    ins += [prep(uniforms[0]), prep(uniforms[1]), prep(uniforms[2])]
     rows = n_pad // 128
     grid = (rows // BLOCK_ROWS,)
     bspec = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_mesh_bounce_kernel, prim_static, cfg)
+    kern = functools.partial(_mesh_bounce_kernel, prim_static, cfg, textured)
     shapes = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 9 + [
         jax.ShapeDtypeStruct((rows, 128), jnp.int32)
     ]
@@ -312,10 +331,16 @@ def _fused_mesh_shade(
 
 
 def fused_mesh_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
-    """The fused mesh bounce needs the MXU intersector + no textures."""
+    """The fused mesh bounce needs the MXU intersector.  Textured scenes are
+    supported when the textures live on MESH materials only (texture/bump
+    sampling then runs in the XLA surface stage between the MXU intersect
+    and this kernel; reference behavior ``src/pathtrace.cu:505-519``).  A
+    textured/bumped material on an analytic prim falls back to the unfused
+    path (prim hits resolve inside the Pallas kernel, where texture gathers
+    cannot lower)."""
     return (
         static.has_triangles
-        and static.num_textures == 0
+        and not (static.num_textures > 0 and static.prim_textured)
         and cfg.shader == "full"
         and cfg.bvh_acceleration
         and cfg.mesh_intersector in ("auto", "mxu")
@@ -424,26 +449,72 @@ def fused_mesh_bounce(
         interpret=interpret,
         compute_uv=False,
     )
-    at = intersect_mxu.resolve_shade_attributes(
-        dev.mxu_mesh, static.mxu_padded_tris, mh.tri
-    )
-    uu, vv = intersect_mxu.winner_uv_from_geom(
-        at[:, 10:13], at[:, 13:16], at[:, 16:19], mh.tri, ro, rd,
-        cfg.baby_epsilon,
-    )
-    w = 1.0 - uu - vv
-    n0 = Vec3(at[:, 0], at[:, 1], at[:, 2])
-    n1 = Vec3(at[:, 3], at[:, 4], at[:, 5])
-    n2 = Vec3(at[:, 6], at[:, 7], at[:, 8])
+    textured = static.num_textures > 0
     tri_hit = mh.tri >= 0
-    mesh_normal = vec.normalize(n0 * w + n1 * uu + n2 * vv)
-    # Miss rows are all-zero -> normalize would NaN; mask them out.
-    mesh_normal = vec.where(tri_hit, mesh_normal, Vec3.zeros(uu.shape))
-    mesh_mat = jnp.where(tri_hit, at[:, 9].astype(jnp.int32), -1)
+    if not textured:
+        at = intersect_mxu.resolve_shade_attributes(
+            dev.mxu_mesh, static.mxu_padded_tris, mh.tri
+        )
+        uu, vv = intersect_mxu.winner_uv_from_geom(
+            at[:, 10:13], at[:, 13:16], at[:, 16:19], mh.tri, ro, rd,
+            cfg.baby_epsilon,
+        )
+        w = 1.0 - uu - vv
+        n0 = Vec3(at[:, 0], at[:, 1], at[:, 2])
+        n1 = Vec3(at[:, 3], at[:, 4], at[:, 5])
+        n2 = Vec3(at[:, 6], at[:, 7], at[:, 8])
+        mesh_normal = vec.normalize(n0 * w + n1 * uu + n2 * vv)
+        # Miss rows are all-zero -> normalize would NaN; mask them out.
+        mesh_normal = vec.where(tri_hit, mesh_normal, Vec3.zeros(uu.shape))
+        mesh_mat = jnp.where(tri_hit, at[:, 9].astype(jnp.int32), -1)
+        mesh_albedo = None
+    else:
+        # Textured mesh surface stage (XLA): full attr rows, interpolated
+        # uv, texture albedo override + bump shading normal via the SAME
+        # helper the unfused shade uses (ops.shade.textured_surface).
+        at = intersect_mxu.resolve_attributes(
+            dev.mxu_mesh, static.mxu_padded_tris, mh.tri,
+            mode=cfg.mxu_attr_resolve,
+        )
+        uu, vv = intersect_mxu.winner_uv_from_geom(
+            at[:, 24:27], at[:, 27:30], at[:, 30:33], mh.tri, ro, rd,
+            cfg.baby_epsilon,
+        )
+        w = 1.0 - uu - vv
+        n0 = Vec3(at[:, 0], at[:, 1], at[:, 2])
+        n1 = Vec3(at[:, 3], at[:, 4], at[:, 5])
+        n2 = Vec3(at[:, 6], at[:, 7], at[:, 8])
+        ng = vec.normalize(n0 * w + n1 * uu + n2 * vv)
+        ng = vec.where(tri_hit, ng, Vec3.zeros(uu.shape))
+        # Orient toward the ray (the in-kernel merge rule), BEFORE bump --
+        # matching the unfused path where isect.normal arrives oriented.
+        ng = vec.where(vec.dot(rd, ng) > 0.0, -ng, ng)
+        mesh_mat = jnp.where(tri_hit, at[:, 21].astype(jnp.int32), -1)
+        uv_u = at[:, 9] * w + at[:, 11] * uu + at[:, 13] * vv
+        uv_v = at[:, 10] * w + at[:, 12] * uu + at[:, 14] * vv
+        from .rays import Intersections
+
+        isect_m = Intersections(
+            t=mh.t,
+            normal=ng,
+            material_id=mesh_mat,
+            uv_u=uv_u,
+            uv_v=uv_v,
+            dpdu=Vec3(at[:, 15], at[:, 16], at[:, 17]),
+            dpdv=Vec3(at[:, 18], at[:, 19], at[:, 20]),
+            is_triangle=tri_hit,
+        )
+        mid_m = jnp.clip(mesh_mat, 0, static.num_materials - 1)
+        base = vec.select_gather(dev.materials.color, mid_m)
+        mesh_albedo, mesh_normal = shade_ops.textured_surface(
+            dev, static, isect_m, mid_m, base
+        )
+        mesh_normal = vec.where(tri_hit, mesh_normal, Vec3.zeros(uu.shape))
 
     prim_static = dataclasses.replace(static, num_triangles=0)
     return _fused_mesh_shade(
         prim_static, cfg, paths, mh.t, mesh_normal, mesh_mat, uniforms,
+        mesh_albedo=mesh_albedo,
         interpret=interpret,
     )
 

@@ -80,6 +80,57 @@ def shade_fake(
     )
 
 
+def textured_surface(
+    dev: DeviceScene,
+    static: SceneStatic,
+    isect: Intersections,
+    mid: jnp.ndarray,  # clipped material id per lane
+    albedo: Vec3,  # base (material-color) albedo per lane
+):
+    """Texture albedo override + bump-map shading normal for one lane set.
+
+    Shared verbatim by the unfused ``shade`` and the fused mesh path's
+    XLA mesh-surface stage (same formulas -> bitwise-identical results).
+    Returns ``(albedo, shading_normal)``."""
+    mats = dev.materials
+
+    # ---- texture albedo override (src/pathtrace.cu:549-553) --------------
+    tex_id = mats.texture_id[mid]
+    tex_rgb = texture.sample_texture(
+        dev.textures,
+        static.num_textures,
+        static.tex_wmax,
+        static.tex_hmax,
+        tex_id,
+        isect.uv_u,
+        isect.uv_v,
+    )
+    albedo = vec.where(tex_id >= 0, tex_rgb, albedo)
+
+    # ---- shading normal: bump-map perturbation (src/pathtrace.cu:579-607)
+    ng = isect.normal
+    bump_id = mats.bump_id[mid]
+    has_bump = bump_id >= 0
+    bid = jnp.clip(bump_id, 0, static.num_textures - 1)
+    tw = dev.textures.width[bid].astype(jnp.float32)
+    th = dev.textures.height[bid].astype(jnp.float32)
+    du = 1.0 / tw
+    dv = 1.0 / th
+    args = (dev.textures, static.num_textures, static.tex_wmax, static.tex_hmax)
+    h0 = texture.sample_height(*args, bump_id, isect.uv_u, isect.uv_v)
+    h_u = texture.sample_height(*args, bump_id, isect.uv_u + du, isect.uv_v)
+    h_v = texture.sample_height(*args, bump_id, isect.uv_u, isect.uv_v + dv)
+    dhdu = (h_u - h0) / du
+    dhdv = (h_v - h0) / dv
+    scale = mats.bump_scale[mid]
+    dpdu_p = isect.dpdu + ng * (scale * dhdu)
+    dpdv_p = isect.dpdv + ng * (scale * dhdv)
+    sn = vec.normalize(vec.cross(dpdu_p, dpdv_p))
+    sn = vec.where(vec.dot(sn, ng) < 0.0, -sn, sn)
+    shading_normal = vec.where(has_bump, sn, ng)
+    return albedo, shading_normal
+
+
 def shade(
     dev: DeviceScene,
     static: SceneStatic,
@@ -105,43 +156,9 @@ def shade(
     roughness = mats.roughness[mid]
     metallic = mats.metallic[mid]
 
-    # ---- texture albedo override (src/pathtrace.cu:549-553) --------------
+    shading_normal = isect.normal
     if static.num_textures > 0:
-        tex_id = mats.texture_id[mid]
-        tex_rgb = texture.sample_texture(
-            dev.textures,
-            static.num_textures,
-            static.tex_wmax,
-            static.tex_hmax,
-            tex_id,
-            isect.uv_u,
-            isect.uv_v,
-        )
-        albedo = vec.where(tex_id >= 0, tex_rgb, albedo)
-
-    # ---- shading normal: bump-map perturbation (src/pathtrace.cu:579-607)
-    ng = isect.normal
-    shading_normal = ng
-    if static.num_textures > 0:
-        bump_id = mats.bump_id[mid]
-        has_bump = bump_id >= 0
-        bid = jnp.clip(bump_id, 0, static.num_textures - 1)
-        tw = dev.textures.width[bid].astype(jnp.float32)
-        th = dev.textures.height[bid].astype(jnp.float32)
-        du = 1.0 / tw
-        dv = 1.0 / th
-        args = (dev.textures, static.num_textures, static.tex_wmax, static.tex_hmax)
-        h0 = texture.sample_height(*args, bump_id, isect.uv_u, isect.uv_v)
-        h_u = texture.sample_height(*args, bump_id, isect.uv_u + du, isect.uv_v)
-        h_v = texture.sample_height(*args, bump_id, isect.uv_u, isect.uv_v + dv)
-        dhdu = (h_u - h0) / du
-        dhdv = (h_v - h0) / dv
-        scale = mats.bump_scale[mid]
-        dpdu_p = isect.dpdu + ng * (scale * dhdu)
-        dpdv_p = isect.dpdv + ng * (scale * dhdv)
-        sn = vec.normalize(vec.cross(dpdu_p, dpdv_p))
-        sn = vec.where(vec.dot(sn, ng) < 0.0, -sn, sn)
-        shading_normal = vec.where(has_bump, sn, ng)
+        albedo, shading_normal = textured_surface(dev, static, isect, mid, albedo)
 
     return scatter_compose(
         cfg,

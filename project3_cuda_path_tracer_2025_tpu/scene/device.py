@@ -77,6 +77,11 @@ class SceneStatic:
     mesh_bounds: Tuple[float, float, float, float, float, float] = (
         0.0, 0.0, 0.0, 1.0, 1.0, 1.0,
     )
+    # True if any ANALYTIC PRIM's material has a texture or bump map.  Prim
+    # UVs are identically (0, 0) (reference parity), so texture lookups on
+    # prim lanes are degenerate; the fused mesh path only supports textures
+    # when they live on mesh materials (see ``fused.fused_mesh_applicable``).
+    prim_textured: bool = False
 
     @property
     def has_triangles(self) -> bool:
@@ -356,6 +361,10 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         image_name=scene.state.image_name,
         mxu_padded_tris=mxu_padded,
         mesh_bounds=mesh_bounds,
+        prim_textured=any(
+            ms[g.material_id].has_texture or ms[g.material_id].has_bump_map
+            for g in scene.geoms
+        ),
     )
     return (
         DeviceScene(materials, triangles, bvh, textures, mxu_tables),

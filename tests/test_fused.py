@@ -85,6 +85,76 @@ def test_fused_mesh_persistent_sort_invariant(repo_root):
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
 
 
+def test_fused_mesh_textured_matches_unfused(repo_root):
+    """Textured+bumped mesh scene: the fused path (texture/bump resolved in
+    the XLA surface stage, shade in the Pallas kernel) must match the
+    unfused megakernel bit-exactly."""
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_mesh_textured.json")),
+        12, 12,
+    )
+    mesh.state.trace_depth = 3
+    import dataclasses
+
+    base = RenderConfig(mesh_intersector="mxu", ray_sorting="off")
+    a = Renderer(mesh, dataclasses.replace(base, fused_bounce="off"))
+    b = Renderer(mesh, dataclasses.replace(base, fused_bounce="on"))
+    c = Renderer(
+        mesh, dataclasses.replace(base, fused_bounce="on", ray_sorting="on")
+    )
+    for _ in range(2):
+        a.step()
+        b.step()
+        c.step()
+    # Texture/bump math runs in different fusion contexts (inline in shade
+    # vs the XLA surface stage), so FMA contraction may differ by ~1 ulp
+    # (observed 7e-8 on 4/432 elements) -- same tolerance class as the
+    # fused prim kernel's raygen re-association.
+    np.testing.assert_allclose(a.image(), b.image(), atol=1e-6)
+    # Sorting is a pure permutation of the SAME graph: bit-exact.
+    np.testing.assert_array_equal(b.image(), c.image())
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+
+
+def test_fused_gate_prim_textured(repo_root, tmp_path):
+    """A textured material on an analytic PRIM must gate the fused mesh
+    path off (prim texture lookups can't run inside the Pallas kernel)."""
+    import json
+
+    from project3_cuda_path_tracer_2025_tpu.ops import fused
+    from project3_cuda_path_tracer_2025_tpu.scene import build_device_scene
+
+    scene_dir = repo_root / "scenes"
+    src = json.load(open(scene_dir / "cornell_mesh_textured.json"))
+    # Asset paths are scene-relative; rebase them for the tmp copy.
+    import os
+
+    for m in src["Materials"].values():
+        for k in ("TEXTURE", "BUMP_MAP"):
+            if k in m:
+                m[k] = os.path.normpath(str(scene_dir / m[k]))
+    for g in src["Objects"]:
+        if "PATH" in g:
+            g["PATH"] = os.path.normpath(str(scene_dir / g["PATH"]))
+    # Move the texture onto a wall material (a cube prim uses it).
+    src["Materials"]["diffuse_red"]["TEXTURE"] = src["Materials"]["mesh_tex"][
+        "TEXTURE"
+    ]
+    p = tmp_path / "prim_tex.json"
+    p.write_text(json.dumps(src))
+    scene = set_resolution(load_scene(str(p)), 8, 8)
+    _, static = build_device_scene(scene)
+    assert static.prim_textured
+    assert not fused.fused_mesh_applicable(static, RenderConfig())
+    # The shipped textured mesh scene (textures on the mesh only) stays on.
+    s2 = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_mesh_textured.json")), 8, 8
+    )
+    _, st2 = build_device_scene(s2)
+    assert not st2.prim_textured
+    assert fused.fused_mesh_applicable(st2, RenderConfig())
+
+
 def test_fused_auto_off_on_cpu(cornell_tiny):
     """auto must not select the (interpreted, slow) kernel on CPU."""
     import time
