@@ -507,7 +507,8 @@ def fused_mesh_bounce(
         mid_m = jnp.clip(mesh_mat, 0, static.num_materials - 1)
         base = vec.select_gather(dev.materials.color, mid_m)
         mesh_albedo, mesh_normal = shade_ops.textured_surface(
-            dev, static, isect_m, mid_m, base
+            dev, static, isect_m, mid_m, base,
+            live=tri_hit & paths.alive,
         )
         mesh_normal = vec.where(tri_hit, mesh_normal, Vec3.zeros(uu.shape))
 

@@ -86,43 +86,63 @@ def textured_surface(
     isect: Intersections,
     mid: jnp.ndarray,  # clipped material id per lane
     albedo: Vec3,  # base (material-color) albedo per lane
+    live: jnp.ndarray = None,  # lanes whose shade result is consumed
 ):
     """Texture albedo override + bump-map shading normal for one lane set.
 
     Shared verbatim by the unfused ``shade`` and the fused mesh path's
-    XLA mesh-surface stage (same formulas -> bitwise-identical results).
+    XLA mesh-surface stage (same formulas -> bitwise-identical results
+    across integrators).  ``live`` marks lanes whose result survives
+    downstream masking (hit lanes); dead lanes' texel fetches clamp to row
+    0 so they stay cache-resident instead of thrashing HBM.
     Returns ``(albedo, shading_normal)``."""
-    mats = dev.materials
+    ms = static.material_consts
 
-    # ---- texture albedo override (src/pathtrace.cu:549-553) --------------
-    tex_id = mats.texture_id[mid]
-    tex_rgb = texture.sample_texture(
-        dev.textures,
-        static.num_textures,
-        static.tex_wmax,
-        static.tex_hmax,
-        tex_id,
-        isect.uv_u,
-        isect.uv_v,
+    def chain(get, dtype=jnp.float32):
+        out = jnp.full(mid.shape, get(ms[0]), dtype)
+        for i in range(1, len(ms)):
+            out = jnp.where(mid == i, dtype(get(ms[i])), out)
+        return out
+
+    # Per-lane material texture/bump ids + per-lane texture dims resolve as
+    # constant select chains (materials and texture dims are static), not
+    # device gathers.
+    tex_id = chain(lambda m: m.texture_id, jnp.int32)
+    bump_id = chain(lambda m: m.bump_id, jnp.int32)
+    scale = chain(lambda m: m.bump_scale)
+
+    dims = static.tex_dims or ((1, 1),)
+
+    def dim_chain(idv, axis):
+        # i32 like TextureTable.width/height (the wrap arithmetic in
+        # _bilinear_prep is integer mod).
+        out = jnp.full(idv.shape, dims[0][axis], jnp.int32)
+        for i in range(1, len(dims)):
+            out = jnp.where(idv == i, jnp.int32(dims[i][axis]), out)
+        return out
+
+    nt = static.num_textures
+    tid = jnp.clip(tex_id, 0, max(nt - 1, 0))
+    bid = jnp.clip(bump_id, 0, max(nt - 1, 0))
+    tw_t, th_t = dim_chain(tid, 0), dim_chain(tid, 1)
+    tw_b, th_b = dim_chain(bid, 0), dim_chain(bid, 1)
+    du = 1.0 / tw_b.astype(jnp.float32)
+    dv = 1.0 / th_b.astype(jnp.float32)
+
+    # ---- two texel-quad gathers: albedo + precomputed bump gradients -----
+    # (src/pathtrace.cu:549-553 texture override; :579-607 bump heights)
+    tex_rgb, gdu_raw, gdv_raw = texture.sample_surface(
+        dev.textures, nt, static.tex_wmax, static.tex_hmax,
+        tex_id, bump_id, isect.uv_u, isect.uv_v,
+        tw_t, th_t, tw_b, th_b, live=live,
     )
     albedo = vec.where(tex_id >= 0, tex_rgb, albedo)
 
-    # ---- shading normal: bump-map perturbation (src/pathtrace.cu:579-607)
+    # ---- shading normal: bump-map perturbation ---------------------------
     ng = isect.normal
-    bump_id = mats.bump_id[mid]
     has_bump = bump_id >= 0
-    bid = jnp.clip(bump_id, 0, static.num_textures - 1)
-    tw = dev.textures.width[bid].astype(jnp.float32)
-    th = dev.textures.height[bid].astype(jnp.float32)
-    du = 1.0 / tw
-    dv = 1.0 / th
-    args = (dev.textures, static.num_textures, static.tex_wmax, static.tex_hmax)
-    h0 = texture.sample_height(*args, bump_id, isect.uv_u, isect.uv_v)
-    h_u = texture.sample_height(*args, bump_id, isect.uv_u + du, isect.uv_v)
-    h_v = texture.sample_height(*args, bump_id, isect.uv_u, isect.uv_v + dv)
-    dhdu = (h_u - h0) / du
-    dhdv = (h_v - h0) / dv
-    scale = mats.bump_scale[mid]
+    dhdu = gdu_raw / du
+    dhdv = gdv_raw / dv
     dpdu_p = isect.dpdu + ng * (scale * dhdu)
     dpdv_p = isect.dpdv + ng * (scale * dhdv)
     sn = vec.normalize(vec.cross(dpdu_p, dpdv_p))
@@ -158,7 +178,9 @@ def shade(
 
     shading_normal = isect.normal
     if static.num_textures > 0:
-        albedo, shading_normal = textured_surface(dev, static, isect, mid, albedo)
+        albedo, shading_normal = textured_surface(
+            dev, static, isect, mid, albedo, live=was_alive & hit
+        )
 
     return scatter_compose(
         cfg,

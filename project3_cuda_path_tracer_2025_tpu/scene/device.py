@@ -52,6 +52,9 @@ class MaterialConst(NamedTuple):
     ior: float
     roughness: float
     metallic: float
+    texture_id: int = -1
+    bump_id: int = -1
+    bump_scale: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -82,6 +85,9 @@ class SceneStatic:
     # prim lanes are degenerate; the fused mesh path only supports textures
     # when they live on mesh materials (see ``fused.fused_mesh_applicable``).
     prim_textured: bool = False
+    # Per-texture (width, height) as static ints: lets per-lane texture dims
+    # resolve as constant select chains instead of device gathers.
+    tex_dims: Tuple[Tuple[int, int], ...] = ()
 
     @property
     def has_triangles(self) -> bool:
@@ -148,9 +154,17 @@ class TextureTable(NamedTuple):
     ``rgba``: [NT * Hmax * Wmax, 4] f32 -- one ROW per texel so a bilinear
     tap is a single row gather (4 row gathers per sample) instead of
     per-channel 1D gathers; row gathers are the fast gather form on this
-    TPU (~9 Gelem/s measured vs serial element gathers)."""
+    TPU (~9 Gelem/s measured vs serial element gathers).
+
+    ``grad``: [NT * Hmax * Wmax, 2] f32 -- per-texel wrapped forward
+    differences of the height (red) channel: (h[y][x+1]-h[y][x],
+    h[y-1][x]-h[y][x]).  Bilinear samples of these equal the reference's
+    bump-map finite differences of bilinear height samples (distributivity
+    of the shared interpolation weights), letting the hot path fetch bump
+    gradients with ONE texel-quad gather instead of three height samples."""
 
     rgba: jnp.ndarray  # [NT * Hmax * Wmax, 4] f32
+    grad: jnp.ndarray  # [NT * Hmax * Wmax, 2] f32
     width: jnp.ndarray  # [NT] i32
     height: jnp.ndarray  # [NT] i32
 
@@ -325,8 +339,15 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
     # --- textures ----------------------------------------------------------
     stack, wh = build_texture_stack(scene.textures)
     nt, hmax, wmax, _ = stack.shape
+    grad = np.zeros((nt, hmax, wmax, 2), np.float32)
+    for i in range(nt):
+        w_i, h_i = int(wh[i, 0]), int(wh[i, 1])
+        h_ch = stack[i, :h_i, :w_i, 0]
+        grad[i, :h_i, :w_i, 0] = np.roll(h_ch, -1, axis=1) - h_ch
+        grad[i, :h_i, :w_i, 1] = np.roll(h_ch, 1, axis=0) - h_ch
     textures = TextureTable(
         rgba=jnp.asarray(stack.reshape(-1, 4)),
+        grad=jnp.asarray(grad.reshape(-1, 2)),
         width=jnp.asarray(wh[:, 0], jnp.int32),
         height=jnp.asarray(wh[:, 1], jnp.int32),
     )
@@ -340,6 +361,9 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
             ior=float(m.index_of_refraction),
             roughness=float(m.roughness),
             metallic=float(m.metallic),
+            texture_id=int(m.texture_id) if m.has_texture else -1,
+            bump_id=int(m.bump_id) if m.has_bump_map else -1,
+            bump_scale=float(m.bump_scale),
         )
         for m in ms
     )
@@ -365,6 +389,7 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
             ms[g.material_id].has_texture or ms[g.material_id].has_bump_map
             for g in scene.geoms
         ),
+        tex_dims=tuple((int(w), int(h)) for w, h in wh),
     )
     return (
         DeviceScene(materials, triangles, bvh, textures, mxu_tables),

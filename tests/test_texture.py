@@ -42,6 +42,7 @@ def _table(datas):
     return (
         TextureTable(
             rgba=jnp.asarray(stack.reshape(-1, 4)),
+            grad=jnp.zeros((stack.shape[0] * hmax * wmax, 2), jnp.float32),
             width=jnp.asarray(wh[:, 0], jnp.int32),
             height=jnp.asarray(wh[:, 1], jnp.int32),
         ),
@@ -196,3 +197,43 @@ def test_textured_bump_render_end_to_end(tmp_path):
     red = (img[..., 0] > img[..., 2] * 2) & (img[..., 0] > 0.02)
     blue = (img[..., 2] > img[..., 0] * 2) & (img[..., 2] > 0.02)
     assert red.sum() > 20 and blue.sum() > 20
+
+
+def test_grad_table_matches_height_differences():
+    """Bilinear samples of the precomputed difference table must equal the
+    reference's finite differences of bilinear height samples (weight
+    distributivity; up to f32 rounding and the reference's own ulp-level
+    weight drift at texel boundaries)."""
+    rng = np.random.default_rng(3)
+    h, w = 8, 16
+    data = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+
+    class T:
+        pass
+
+    t = T()
+    t.height, t.width, t.data = h, w, np.dstack([data, np.full((h, w), 255, np.uint8)])
+    tab, nt, wmax, hmax = _table([t])
+    hch = np.asarray(tab.rgba).reshape(h, w, 4)[:, :, 0]
+    grad = np.zeros((h, w, 2), np.float32)
+    grad[:, :, 0] = np.roll(hch, -1, axis=1) - hch
+    grad[:, :, 1] = np.roll(hch, 1, axis=0) - hch
+    tab = tab._replace(grad=jnp.asarray(grad.reshape(-1, 2)))
+
+    n = 257
+    u = rng.random(n).astype(np.float32)
+    v = rng.random(n).astype(np.float32)
+    tid = jnp.zeros((n,), jnp.int32)
+    tw = jnp.full((n,), w, jnp.int32)
+    th = jnp.full((n,), h, jnp.int32)
+    _, gdu, gdv = tex_ops.sample_surface(
+        tab, nt, wmax, hmax, tid, tid, jnp.asarray(u), jnp.asarray(v),
+        tw, th, tw, th,
+    )
+    du, dv = 1.0 / w, 1.0 / h
+    args = (tab, nt, wmax, hmax)
+    h0 = tex_ops.sample_height(*args, tid, jnp.asarray(u), jnp.asarray(v))
+    h_u = tex_ops.sample_height(*args, tid, jnp.asarray(u + du), jnp.asarray(v))
+    h_v = tex_ops.sample_height(*args, tid, jnp.asarray(u), jnp.asarray(v + dv))
+    np.testing.assert_allclose(np.asarray(gdu), np.asarray(h_u - h0), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gdv), np.asarray(h_v - h0), atol=2e-6)
