@@ -389,6 +389,8 @@ def _intersect_kernel(
             tt = t_num * inv_det
             # Division-free barycentric bounds: u = u_num/det in [0,1] iff
             # u_num*sign(det) in [0, |det|] (det != 0 under det_ok).
+            # u <= 1 is implied by v >= 0 and u + v <= 1, so it is not
+            # tested (the reference tests the same three bounds).
             s = jnp.where(det < 0.0, -1.0, 1.0)
             us = u_num * s
             vs = v_num * s
@@ -396,13 +398,14 @@ def _intersect_kernel(
             hit = (
                 det_ok
                 & (us >= 0.0)
-                & (us <= da)
                 & (vs >= 0.0)
                 & (us + vs <= da)
                 & (tt > baby_eps)
             )
             # Sentinel must compare >= any t_limit (callers pass FLT_MAX).
-            ttm = jnp.where(hit & (tt < best_t), tt, jnp.inf)
+            # No tt < best_t mask needed: the row-min + `better` comparison
+            # below rejects any candidate at or past the running best.
+            ttm = jnp.where(hit, tt, jnp.inf)
             row_min = jnp.min(ttm, axis=1, keepdims=True)  # [R, 1]
             better = row_min < best_t
             # lowest lane achieving the min (min-reductions only; no argmin)
