@@ -536,7 +536,7 @@ def _run(
     num_ray_tiles = n_pad // RAY_TILE
     grid = (num_ray_tiles,)
 
-    def run_chunk(feat_c, aabb_c, gaabb_c, tlim_c):
+    def run_chunk(rayf_c, feat_c, aabb_c, gaabb_c, tlim_c):
         """One pallas_call over a VMEM-resident feature chunk."""
         num_groups = feat_c.shape[1] // (4 * GROUP_TRIS)
         kern = functools.partial(_intersect_kernel, baby_eps, num_groups)
@@ -560,10 +560,10 @@ def _run(
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             ),
             interpret=interpret,
-        )(rayf, tlim_c, feat_c, aabb_c, gaabb_c)
+        )(rayf_c, tlim_c, feat_c, aabb_c, gaabb_c)
 
     if padded_tris <= chunk_tris:
-        out_t, out_tri = run_chunk(features, tile_aabb, group_aabb, tlim)
+        out_t, out_tri = run_chunk(rayf, features, tile_aabb, group_aabb, tlim)
     else:
         # Chunked multi-call chain for >chunk_tris meshes: each chunk's
         # closest hit feeds the next chunk's t_limit so later chunks prune
@@ -572,13 +572,37 @@ def _run(
         groups_per_chunk = max(1, chunk_tris // GROUP_TRIS)
         chunk_sz = groups_per_chunk * GROUP_TRIS
         num_chunks = (padded_tris + chunk_sz - 1) // chunk_sz
+        invx = 1.0 / jnp.where(dxp == 0.0, 1e-20, dxp)
+        invy = 1.0 / jnp.where(dyp == 0.0, 1e-20, dyp)
+        invz = 1.0 / jnp.where(dzp == 0.0, 1e-20, dzp)
         for ci in range(num_chunks):
             g0 = ci * groups_per_chunk
             g1 = min(padded_tris // GROUP_TRIS, g0 + groups_per_chunk)
             feat_c = features[:, g0 * 4 * GROUP_TRIS : g1 * 4 * GROUP_TRIS]
             aabb_c = tile_aabb[g0 * GROUP_TILES : g1 * GROUP_TILES]
             gaabb_c = group_aabb[g0:g1]
-            t_c, tri_c = run_chunk(feat_c, aabb_c, gaabb_c, out_t)
+            # Per-ray CHUNK-envelope cull against the RUNNING best t: the
+            # chunk's tiles are BVH-leaf-ordered (spatially tight), so with
+            # coherence sorting most 256-ray blocks overlap 1-2 chunks and
+            # the rest go fully dead -> block_live skips their tri loop.
+            # Conservative (slab bounds are monotone in the box), so the
+            # result is bit-identical to the unculled chain.
+            clo = jnp.min(aabb_c[:, 0:3], axis=0)
+            chi = jnp.max(aabb_c[:, 3:6], axis=0)
+            t1x, t2x = (clo[0] - osx) * invx, (chi[0] - osx) * invx
+            t1y, t2y = (clo[1] - osy) * invy, (chi[1] - osy) * invy
+            t1z, t2z = (clo[2] - osz) * invz, (chi[2] - osz) * invz
+            ctlo = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            cthi = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            ok = (cthi >= ctlo) & (cthi > 0.0) & (ctlo < out_t[:, 0])
+            rayf_c = rayf * ok.astype(jnp.float32)[:, None]
+            t_c, tri_c = run_chunk(rayf_c, feat_c, aabb_c, gaabb_c, out_t)
             better = tri_c >= 0  # kernel only reports hits closer than tlim
             tri_glob = jnp.where(better, tri_c + g0 * GROUP_TRIS, -1)
             if out_tri is None:
