@@ -329,6 +329,10 @@ def coherence_perm(
         ro.x - c[0], ro.y - c[1], ro.z - c[2],
         rd.x, rd.y, rd.z, live, lo, hi, sort_bits, sort_dir_bits,
     )
+    # A packed single-operand sort ((key << 20) | lane when the key fits)
+    # was measured on hardware at 173.04 vs 173.14 ms/frame -- the argsort
+    # is NOT a bottleneck (XLA's (key, iota) sort is already cheap at 640k);
+    # keep the simple form.
     return jnp.argsort(key)
 
 
