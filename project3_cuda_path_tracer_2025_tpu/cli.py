@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "--interactive",
+        action="store_true",
+        help="live in-terminal render with orbit-camera keys (the headless "
+        "analogue of the reference's GLFW window; needs a TTY)",
+    )
     return p
 
 
@@ -125,6 +131,13 @@ def main(argv=None) -> int:
         print(f"Resumed at iteration {r.iteration} from {args.resume}")
 
     total = args.spp if args.spp is not None else scene.state.iterations
+    if args.interactive:
+        from .interactive import InteractiveShell
+
+        shell = InteractiveShell(r, out_dir=args.out)
+        return shell.run(
+            spp_per_frame=max(1, args.spp_per_launch), max_iters=total
+        )
     if not args.quiet:
         print(
             f"{r.static.width}x{r.static.height}, depth {r.static.trace_depth}, "
