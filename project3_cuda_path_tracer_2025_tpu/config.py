@@ -95,6 +95,13 @@ class RenderConfig:
     # flops scale with tri count; kept as the A/B oracle).
     mxu_attr_resolve: str = "gather"
 
+    # MXU-intersector traversal: "sweep" iterates every tile with in-kernel
+    # slab culls; "planned" precomputes per-block front-to-back candidate
+    # tile lists in XLA (scalar-prefetched) and walks them with an early
+    # exit -- the BVH's ordered descent at block x tile granularity.
+    # Bit-identical results (tested); "auto" picks per measurement.
+    mxu_traversal: str = "auto"
+
     # Loop lowering: Python-unroll the bounce loop (better fusion, bigger
     # HLO) vs lax.fori_loop (compact HLO).  None = auto (unroll).
     unroll_bounces: Optional[bool] = None

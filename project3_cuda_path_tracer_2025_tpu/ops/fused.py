@@ -448,6 +448,7 @@ def fused_mesh_bounce(
         mesh_bounds=static.mesh_bounds,
         interpret=interpret,
         compute_uv=False,
+        planned=cfg.mxu_traversal in ("auto", "planned"),
     )
     textured = static.num_textures > 0
     tri_hit = mh.tri >= 0

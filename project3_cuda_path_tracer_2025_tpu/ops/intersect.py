@@ -421,6 +421,7 @@ def intersect_scene(
                 mesh_bounds=static.mesh_bounds,
                 interpret=jax.default_backend() == "cpu",
                 compute_uv=False,  # derived below from the resolved rows
+                planned=cfg.mxu_traversal in ("auto", "planned"),
             )
         elif mode == "threaded":
             mh = mesh_intersect_bvh(

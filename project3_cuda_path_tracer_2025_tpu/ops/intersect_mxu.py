@@ -459,11 +459,167 @@ def _intersect_kernel(
     out_tri_ref[:] = best_tri
 
 
+def _build_tile_plan(tile_aabb, o, d, one, tl):
+    """Front-to-back per-block tile plan (XLA, elementwise + row sorts).
+
+    For every (256-ray block, TRI_TILE tile) pair, an exact per-ray slab
+    test decides whether ANY live ray in the block can enter the tile's
+    AABB closer than its t_limit; hit tiles are ordered by the block's
+    minimum entry distance (clamped at 0 -- every reported hit t is
+    positive, so max(tlo, 0) is still a valid lower bound on any t the
+    tile can produce).  Returns (ids [NB*Ct] i32, tlo [NB*Ct] f32 sorted
+    ascending with +inf for misses, cnt [NB] i32) for scalar prefetch.
+
+    This is the BVH's *ordered* descent re-expressed for blocks: visiting
+    near tiles first collapses best_t immediately, so the kernel's early
+    exit fires after the first-hit shell instead of sweeping every
+    overlapped tile (measured 61/79 tiles visited per live block on the
+    80k mesh without ordering)."""
+    n_pad = o.shape[0]
+    nb = n_pad // RAY_TILE
+    ct = tile_aabb.shape[0]
+    invx = 1.0 / jnp.where(d[:, 0] == 0.0, 1e-20, d[:, 0])
+    invy = 1.0 / jnp.where(d[:, 1] == 0.0, 1e-20, d[:, 1])
+    invz = 1.0 / jnp.where(d[:, 2] == 0.0, 1e-20, d[:, 2])
+    live = one > 0.0
+    hs, ls = [], []
+    TC = 16  # tile-chunked so [n_pad, TC] intermediates stay small
+    for c0 in range(0, ct, TC):
+        rows = tile_aabb[c0 : c0 + TC]
+        lo, hi = rows[:, 0:3], rows[:, 3:6]
+        t1x = (lo[None, :, 0] - o[:, None, 0]) * invx[:, None]
+        t2x = (hi[None, :, 0] - o[:, None, 0]) * invx[:, None]
+        t1y = (lo[None, :, 1] - o[:, None, 1]) * invy[:, None]
+        t2y = (hi[None, :, 1] - o[:, None, 1]) * invy[:, None]
+        t1z = (lo[None, :, 2] - o[:, None, 2]) * invz[:, None]
+        t2z = (hi[None, :, 2] - o[:, None, 2]) * invz[:, None]
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        h = (thi >= tlo) & (thi > 0.0) & (tlo < tl[:, None]) & live[:, None]
+        tc = rows.shape[0]
+        hb = h.reshape(nb, RAY_TILE, tc).any(axis=1)
+        per_ray = jnp.where(h, jnp.maximum(tlo, 0.0), jnp.inf)
+        lb = per_ray.reshape(nb, RAY_TILE, tc).min(axis=1)
+        hs.append(hb)
+        ls.append(lb)
+    H = jnp.concatenate(hs, axis=1)  # [NB, Ct]
+    key = jnp.where(H, jnp.concatenate(ls, axis=1), jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    tlo_sorted = jnp.take_along_axis(key, order, axis=1)
+    cnt = jnp.sum(H, axis=1).astype(jnp.int32)
+    return order.reshape(-1), tlo_sorted.reshape(-1), cnt
+
+
+def _planned_kernel(
+    baby_eps: float,
+    ct: int,
+    # scalar prefetch (SMEM, dynamically indexable)
+    ids_ref,  # [NB * Ct] i32 tile ids, front-to-back per block
+    tlo_ref,  # [NB * Ct] f32 block-min entry distance (inf = miss)
+    cnt_ref,  # [NB] i32 candidate count
+    # tensor refs
+    rayf_ref,  # [RAY_TILE, NUM_F]
+    tlim_ref,  # [RAY_TILE, 1]
+    feat_ref,  # [NUM_F, 4*Tp] full chunk table in VMEM
+    out_t_ref,
+    out_tri_ref,
+):
+    """Ordered block-sparse traversal: walk this block's candidate tiles
+    front-to-back, maintain the running closest hit, and stop as soon as
+    the next tile's entry distance can't beat ANY ray's best (tlo ascending
+    + conservative bound => exact).  Winner selection is visit-order
+    independent: strict improvement wins, exact ties resolve to the lowest
+    triangle id (the sweep kernel's ascending order implies the same), so
+    results are bit-identical to ``_intersect_kernel``."""
+    b = pl.program_id(0)
+    rayf = rayf_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
+    cnt = cnt_ref[b]
+    init_t = tlim_ref[:]
+    init_tri = jnp.full((RAY_TILE, 1), -1, jnp.int32)
+    # Dead/root-missing rays (zero features) can never hit: exclude their
+    # (padded-huge) t_limit from the early-exit bound.  Their outputs stay
+    # (t_limit, -1) either way, so this is exact.
+    live_col = rayf[:, 9:10] > 0.0
+
+    def live_max(best_t):
+        return jnp.max(jnp.where(live_col, best_t, 0.0))
+
+    def cond(carry):
+        t, _, _, _, done = carry
+        return (t < cnt) & jnp.logical_not(done)
+
+    def body(carry):
+        t, best_t, best_tri, mb, _ = carry
+        tile_tlo = tlo_ref[b * ct + t]
+        # STRICT >: any t this tile can produce is >= tile_tlo, so
+        # tile_tlo > mb implies strictly-worse for every ray -- no better
+        # hits AND no exact ties (which tie-min would have to resolve).
+        stop = tile_tlo > mb
+
+        def run(args):
+            best_t, best_tri = args
+            tile_id = ids_ref[b * ct + t]
+            cols = pl.ds(
+                pl.multiple_of(tile_id * (4 * TRI_TILE), 4 * TRI_TILE),
+                4 * TRI_TILE,
+            )
+            quad = jnp.dot(
+                rayf, feat_ref[:, cols], preferred_element_type=jnp.float32
+            )
+            det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+            u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+            v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+            t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+            det_ok = jnp.abs(det) >= baby_eps
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+            tt = t_num * inv_det
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            us = u_num * s
+            vs = v_num * s
+            da = det * s
+            hit = (
+                det_ok
+                & (us >= 0.0)
+                & (vs >= 0.0)
+                & (us + vs <= da)
+                & (tt > baby_eps)
+            )
+            ttm = jnp.where(hit, tt, jnp.inf)
+            row_min = jnp.min(ttm, axis=1, keepdims=True)
+            lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
+            kbest = jnp.min(lane_masked, axis=1, keepdims=True)
+            cand = tile_id * TRI_TILE + kbest
+            better = row_min < best_t
+            tie = row_min == best_t
+            new_tri = jnp.where(
+                better,
+                cand,
+                jnp.where(tie, jnp.minimum(best_tri, cand), best_tri),
+            )
+            return jnp.where(better, row_min, best_t), new_tri
+
+        best_t, best_tri = jax.lax.cond(stop, lambda a: a, run, (best_t, best_tri))
+        return t + 1, best_t, best_tri, live_max(best_t), stop
+
+    _, best_t, best_tri, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init_t, init_tri, live_max(init_t), False)
+    )
+    out_t_ref[:] = best_t
+    out_tri_ref[:] = best_tri
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
-        "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret",
+        "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
     ),
 )
 def _run(
@@ -481,6 +637,7 @@ def _run(
     mesh_bounds: tuple = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0),
     chunk_tris: int = CHUNK_TRIS,
     interpret: bool = False,
+    planned: bool = False,
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -540,6 +697,39 @@ def _run(
     num_ray_tiles = n_pad // RAY_TILE
     grid = (num_ray_tiles,)
 
+    def run_chunk_planned(rayf_c, feat_c, aabb_c, tlim_c):
+        """Ordered block-sparse traversal: an XLA prepass builds per-block
+        front-to-back candidate tile lists (scalar-prefetched), and the
+        kernel walks them with an early exit -- the BVH's ordered descent
+        at (256-ray block x TRI_TILE tile) granularity."""
+        ct = aabb_c.shape[0]
+        ids, tlo_s, cnt = _build_tile_plan(
+            aabb_c, rayf_c[:, 6:9], rayf_c[:, 0:3], rayf_c[:, 9], tlim_c[:, 0]
+        )
+        kern = functools.partial(_planned_kernel, baby_eps, ct)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((RAY_TILE, NUM_F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(feat_c.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            ),
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(ids, tlo_s, cnt, rayf_c, tlim_c, feat_c)
+
     def run_chunk(rayf_c, feat_c, aabb_c, gaabb_c, tlim_c):
         """One pallas_call over a VMEM-resident feature chunk."""
         num_groups = feat_c.shape[1] // (4 * GROUP_TRIS)
@@ -567,7 +757,12 @@ def _run(
         )(rayf_c, tlim_c, feat_c, aabb_c, gaabb_c)
 
     if padded_tris <= chunk_tris:
-        out_t, out_tri = run_chunk(rayf, features, tile_aabb, group_aabb, tlim)
+        if planned:
+            out_t, out_tri = run_chunk_planned(rayf, features, tile_aabb, tlim)
+        else:
+            out_t, out_tri = run_chunk(
+                rayf, features, tile_aabb, group_aabb, tlim
+            )
     else:
         # Chunked multi-call chain for >chunk_tris meshes: each chunk's
         # closest hit feeds the next chunk's t_limit so later chunks prune
@@ -604,9 +799,14 @@ def _run(
                 jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
                 jnp.maximum(t1z, t2z),
             )
-            ok = (cthi >= ctlo) & (cthi > 0.0) & (ctlo < out_t[:, 0])
-            rayf_c = rayf * ok.astype(jnp.float32)[:, None]
-            t_c, tri_c = run_chunk(rayf_c, feat_c, aabb_c, gaabb_c, out_t)
+            if planned:
+                # The plan prepass embodies the chunk cull (per-block tile
+                # candidates against the running best t).
+                t_c, tri_c = run_chunk_planned(rayf, feat_c, aabb_c, out_t)
+            else:
+                ok = (cthi >= ctlo) & (cthi > 0.0) & (ctlo < out_t[:, 0])
+                rayf_c = rayf * ok.astype(jnp.float32)[:, None]
+                t_c, tri_c = run_chunk(rayf_c, feat_c, aabb_c, gaabb_c, out_t)
             better = tri_c >= 0  # kernel only reports hits closer than tlim
             tri_glob = jnp.where(better, tri_c + g0 * GROUP_TRIS, -1)
             if out_tri is None:
@@ -640,6 +840,7 @@ def mesh_intersect_mxu(
     mesh_bounds: tuple = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0),
     interpret: bool = False,
     compute_uv: bool = True,
+    planned: bool = False,
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -660,6 +861,7 @@ def mesh_intersect_mxu(
         sort_dir_bits=sort_dir_bits,
         mesh_bounds=mesh_bounds,
         interpret=interpret,
+        planned=planned,
     )
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)
