@@ -756,6 +756,14 @@ def _run(
             interpret=interpret,
         )(rayf_c, tlim_c, feat_c, aabb_c, gaabb_c)
 
+    # Scalar-prefetch plans live in SMEM (~1 MB): at very large ray counts
+    # or tile counts the [NB*Ct] id+tlo arrays overflow it (observed at
+    # RAY_TILE=128 on the 80k mesh) -- fall back to the sweep kernel.
+    nb_blocks = n_pad // RAY_TILE
+    ct_per_call = min(padded_tris, chunk_tris) // TRI_TILE
+    if planned and nb_blocks * max(1, ct_per_call) * 8 > 700_000:
+        planned = False
+
     if padded_tris <= chunk_tris:
         if planned:
             out_t, out_tri = run_chunk_planned(rayf, features, tile_aabb, tlim)
