@@ -260,6 +260,13 @@ def main():
     print(f"knot: {len(f)} tris")
     cornell_mesh_scene("knot80k.obj", 2.0, "cornell_mesh_80k")
 
+    # cyrene-class heavy mesh (the reference's 200k-tri benchmark scene,
+    # README.md:204-206) as a denser torus knot.
+    v, f = torus_knot(p=3, q=4, seg_u=625, seg_v=160)
+    write_obj(os.path.join(SCENES, "obj", "knot200k.obj"), v, f)
+    print(f"knot200k: {len(f)} tris")
+    cornell_mesh_scene("knot200k.obj", 2.0, "cornell_mesh_200k")
+
 
 if __name__ == "__main__":
     sys.exit(main())
