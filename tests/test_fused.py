@@ -164,7 +164,8 @@ def test_fused_auto_off_on_cpu(cornell_tiny):
     r.step()
     elapsed = time.perf_counter() - t0
     assert np.isfinite(r.image()).all()
-    # The interpreted fused kernel at 400 rays takes >10s even warm; the jnp
-    # path (compile included) stays well under that.  This catches "auto"
-    # accidentally selecting Pallas-interpret on CPU.
-    assert elapsed < 10.0, f"auto path took {elapsed:.1f}s on CPU - interpreted kernel?"
+    # The interpreted fused kernel at 400 rays takes minutes even warm; the
+    # jnp path (compile included) stays far under 30s even on a loaded
+    # single-core box (10s flaked under full-suite load).  This catches
+    # "auto" accidentally selecting Pallas-interpret on CPU.
+    assert elapsed < 30.0, f"auto path took {elapsed:.1f}s on CPU - interpreted kernel?"
