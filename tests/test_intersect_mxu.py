@@ -214,3 +214,50 @@ def test_mxu_render_matches_threaded(tmp_path):
     # identical hits; f32 roundoff differs between formulations
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
     assert a.mean() > 0.001
+
+
+def test_mxu_planned_matches_sweep_bitexact():
+    """The planned front-to-back traversal (XLA candidate-tile plan +
+    scalar-prefetch kernel with early exit) must be bit-identical to the
+    sweep kernel: winner selection is visit-order independent (strict
+    improvement + lowest-triangle-id tie-break) and the early exit uses a
+    strict bound, so no hit or exact tie can be skipped.  Covers finite
+    t_limits (prim pruning) and the chunked chain."""
+    rng = np.random.default_rng(44)
+    scene = _random_mesh_scene(rng, n_tris=150)
+    dev, static = build_device_scene(scene)
+
+    n = 700
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.3)
+    lim = jnp.asarray(
+        np.where(rng.random(n) > 0.5, 3.4e38, 2.0), jnp.float32
+    )
+
+    kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds)
+    for sort in (False, True):
+        sweep = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=False, **kw,
+        )
+        plan = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=True, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(plan.tri), np.asarray(sweep.tri))
+        np.testing.assert_array_equal(np.asarray(plan.t), np.asarray(sweep.t))
+
+    # chunked planned chain (one group per chunk)
+    from project3_cuda_path_tracer_2025_tpu.ops import intersect_mxu as m
+
+    args = (dev.mxu_mesh.features, dev.mxu_mesh.tile_aabb,
+            dev.mxu_mesh.group_aabb, dev.mxu_mesh.center,
+            ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, lim)
+    kw2 = dict(num_tris=static.num_triangles,
+               padded_tris=static.mxu_padded_tris,
+               baby_eps=CFG.baby_epsilon, interpret=True)
+    t0, tri0 = m._run(*args, planned=False, **kw2)
+    t1, tri1 = m._run(*args, planned=True, chunk_tris=m.GROUP_TRIS, **kw2)
+    np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
