@@ -85,6 +85,14 @@ class RenderConfig:
     ray_sorting: str = "auto"
     ray_sort_bits: int = 2
     ray_sort_dir_bits: int = 4
+    # Sort key family:
+    #   "signature" -- per-ray nearest-candidate-TILE ids packed front-to-
+    #                  back (blocks become candidate-homogeneous, so the
+    #                  planned traversal's per-block tile unions collapse
+    #                  toward each ray's own ~O(T^1/3) candidate list)
+    #   "morton"    -- 6D (position, direction) morton key (round-2 key)
+    #   "auto"      -- signature (measured faster at every mesh size)
+    ray_sort_mode: str = "auto"
     # Resort cadence for the PERSISTENT sort in the fused mesh path: 1 =
     # every bounce; k = reuse the previous order for k-1 bounces (coherence
     # goes stale but the argsort+gather wrapper cost amortizes).

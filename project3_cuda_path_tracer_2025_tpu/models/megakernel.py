@@ -100,8 +100,19 @@ def megakernel_iteration(
     # fori(while(...)) nesting of mesh traversal has shown pathological
     # compile behavior, so mesh scenes stay unrolled too.
     unroll = cfg.unroll_bounces if cfg.unroll_bounces is not None else True
-    if use_fused_mesh:
-        unroll = True  # persistent sorting keys resort on the Python bounce id
+    if use_fused_mesh and not unroll:
+        # Persistent sorting keys resort on the Python bounce id, which needs
+        # an unrolled loop; an explicit unroll_bounces=False can't be honored
+        # on this path -- say so instead of silently changing compile behavior.
+        import warnings
+
+        warnings.warn(
+            "unroll_bounces=False is overridden to True: the fused mesh path "
+            "resorts on the Python bounce id and requires an unrolled loop "
+            "(set fused_bounce='off' to keep a rolled loop).",
+            stacklevel=2,
+        )
+        unroll = True
     carry = (paths, jnp.zeros((depth,), jnp.int32))
     if unroll:
         for d in range(depth):

@@ -419,9 +419,10 @@ def fused_mesh_bounce(
         cfg.ray_sorting == "auto" and jax.default_backend() != "cpu"
     )
     if sort_rays and resort:
+        mode = "signature" if cfg.ray_sort_mode == "auto" else cfg.ray_sort_mode
         perm = intersect_mxu.coherence_perm(
             dev.mxu_mesh, paths.origin, paths.direction, paths.alive,
-            t_lim, cfg.ray_sort_bits, cfg.ray_sort_dir_bits,
+            t_lim, cfg.ray_sort_bits, cfg.ray_sort_dir_bits, mode=mode,
         )
         paths, t_lim = _permute_bounce_state(paths, t_lim, perm)
     if su_key is not None:

@@ -153,8 +153,23 @@ def build_mxu_tables(
                 out[i, 3:6] = -1e30
                 continue
             tv = shifted[lo:hi].reshape(-1, 3)
-            out[i, 0:3] = tv.min(axis=0)
-            out[i, 3:6] = tv.max(axis=0)
+            # Conservative f32 cast: round-to-nearest could shrink the box by
+            # half an ulp, and the planned kernel's early exit treats the slab
+            # tlo as an EXACT lower bound on any hit t the tile can produce.
+            # Widen outward so the conservativeness holds by construction.
+            bmin, bmax = tv.min(axis=0), tv.max(axis=0)
+            lo32 = bmin.astype(np.float32)
+            hi32 = bmax.astype(np.float32)
+            lo32 = np.where(
+                lo32.astype(np.float64) > bmin,
+                np.nextafter(lo32, np.float32(-np.inf)), lo32,
+            )
+            hi32 = np.where(
+                hi32.astype(np.float64) < bmax,
+                np.nextafter(hi32, np.float32(np.inf)), hi32,
+            )
+            out[i, 0:3] = lo32
+            out[i, 3:6] = hi32
         return out
 
     tile_aabb = level_aabbs(TRI_TILE)
@@ -302,6 +317,101 @@ def _coherence_keys(
     return jnp.where(live > 0.0, key, jnp.int32(1 << 30))
 
 
+def _signature_keys(
+    tile_aabb, osx, osy, osz, dx, dy, dz, live, t_limit,
+) -> jnp.ndarray:
+    """Traversal-signature sort key: the ids of the ray's nearest candidate
+    tiles, packed front-to-back (major = nearest).
+
+    Why: morton (position, direction) keys group rays that are *near each
+    other*, but the planned kernel's cost is the per-block UNION of candidate
+    tiles -- and nearby rays can still straddle tile boundaries or aim at
+    different shells of a large mesh, so blocks carry rays whose candidate
+    sets barely overlap and the union stays large (the measured linear-in-
+    triangles ceiling, PARITY.md "Where the architectures cross").  Sorting
+    by the candidate list itself makes blocks candidate-homogeneous: a
+    block's union approaches each member ray's own ~O(T^1/3)-tile list, so
+    kernel work scales with the sum of per-ray candidates -- the reference
+    BVH's scaling -- instead of block unions.
+
+    The key is a heuristic (any permutation is bit-exact downstream); ties
+    and quantization only affect speed.  Key layout, MSB->LSB: tile id of
+    the nearest candidate, 2nd, 3rd (bits_id each), then a direction morton
+    in any leftover bits.  Rays with no candidates sort to the end of the
+    live range; dead rays are handled by the caller's sentinel."""
+    n = osx.shape[0]
+    ct = tile_aabb.shape[0]
+    bits_id = max(1, (ct - 1).bit_length()) if ct > 1 else 1
+    n_sig = 3 if 3 * bits_id <= 30 else 2
+    dir_total = min(6, 30 - n_sig * bits_id)
+    id_mask = jnp.int32((1 << bits_id) - 1)
+    sentinel = jnp.int32(0x7FFFFFFF)
+
+    invx = 1.0 / jnp.where(dx == 0.0, 1e-20, dx)
+    invy = 1.0 / jnp.where(dy == 0.0, 1e-20, dy)
+    invz = 1.0 / jnp.where(dz == 0.0, 1e-20, dz)
+    livem = live > 0.0
+
+    top = jnp.full((n, n_sig), sentinel, jnp.int32)
+    TC = 16
+    for c0 in range(0, ct, TC):
+        rows = tile_aabb[c0 : c0 + TC]
+        lo, hi = rows[:, 0:3], rows[:, 3:6]
+        t1x = (lo[None, :, 0] - osx[:, None]) * invx[:, None]
+        t2x = (hi[None, :, 0] - osx[:, None]) * invx[:, None]
+        t1y = (lo[None, :, 1] - osy[:, None]) * invy[:, None]
+        t2y = (hi[None, :, 1] - osy[:, None]) * invy[:, None]
+        t1z = (lo[None, :, 2] - osz[:, None]) * invz[:, None]
+        t2z = (hi[None, :, 2] - osz[:, None]) * invz[:, None]
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        hit = (
+            (thi >= tlo) & (thi > 0.0)
+            & (tlo < t_limit[:, None]) & livem[:, None]
+        )
+        # Packed candidate: coarse monotone bits of tlo (positive-f32
+        # bitcast is order-preserving) with the low mantissa bits replaced
+        # by the tile id -- one int, min-reducible, unique per tile.
+        b = jax.lax.bitcast_convert_type(
+            jnp.maximum(tlo, 0.0), jnp.int32
+        )
+        tid = (c0 + jax.lax.broadcasted_iota(jnp.int32, tlo.shape, 1))
+        p = jnp.where(hit, (b & ~id_mask) | tid, sentinel)
+        cand = jnp.concatenate([top, p], axis=1)
+        new_top = []
+        for _ in range(n_sig):
+            m = jnp.min(cand, axis=1, keepdims=True)
+            new_top.append(m[:, 0])
+            cand = jnp.where(cand == m, sentinel, cand)
+        top = jnp.stack(new_top, axis=1)
+
+    ids = jnp.where(top == sentinel, id_mask, top & id_mask)
+    sig = ids[:, 0]
+    for k in range(1, n_sig):
+        sig = (sig << bits_id) | ids[:, k]
+    if dir_total >= 3:
+        db = dir_total // 3  # bits per direction axis
+        dscale = (1 << db) - 1
+
+        def qd(d):
+            t = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
+            return (t * dscale).astype(jnp.int32)
+
+        dmorton = (
+            _morton_spread3(qd(dx))
+            | (_morton_spread3(qd(dy)) << 1)
+            | (_morton_spread3(qd(dz)) << 2)
+        )
+        sig = (sig << (3 * db)) | dmorton
+    return jnp.where(livem, sig, jnp.int32(1 << 30))
+
+
 def coherence_perm(
     tables: MXUMeshTables,
     ro: Vec3,
@@ -310,6 +420,7 @@ def coherence_perm(
     t_limit: jnp.ndarray,
     sort_bits: int,
     sort_dir_bits: int,
+    mode: str = "morton",
 ) -> jnp.ndarray:
     """Coherence-sort permutation for PERSISTENT sorting: callers permute
     the whole bounce state once (paths, uniforms, t_limit) and run every
@@ -323,12 +434,19 @@ def coherence_perm(
     )
     live = (active & root).astype(jnp.float32)
     c = tables.center
-    lo = jnp.min(tables.tile_aabb[:, 0:3], axis=0)
-    hi = jnp.max(tables.tile_aabb[:, 3:6], axis=0)
-    key = _coherence_keys(
-        ro.x - c[0], ro.y - c[1], ro.z - c[2],
-        rd.x, rd.y, rd.z, live, lo, hi, sort_bits, sort_dir_bits,
-    )
+    if mode == "signature":
+        key = _signature_keys(
+            tables.tile_aabb,
+            ro.x - c[0], ro.y - c[1], ro.z - c[2],
+            rd.x, rd.y, rd.z, live, t_limit,
+        )
+    else:
+        lo = jnp.min(tables.tile_aabb[:, 0:3], axis=0)
+        hi = jnp.max(tables.tile_aabb[:, 3:6], axis=0)
+        key = _coherence_keys(
+            ro.x - c[0], ro.y - c[1], ro.z - c[2],
+            rd.x, rd.y, rd.z, live, lo, hi, sort_bits, sort_dir_bits,
+        )
     # A packed single-operand sort ((key << 20) | lane when the key fits)
     # was measured on hardware at 173.04 vs 173.14 ms/frame -- the argsort
     # is NOT a bottleneck (XLA's (key, iota) sort is already cheap at 640k);
@@ -620,6 +738,7 @@ def _planned_kernel(
     static_argnames=(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
+        "sort_mode",
     ),
 )
 def _run(
@@ -638,6 +757,7 @@ def _run(
     chunk_tris: int = CHUNK_TRIS,
     interpret: bool = False,
     planned: bool = False,
+    sort_mode: str = "morton",
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -685,14 +805,25 @@ def _run(
         # permutation: the per-ray result is independent of block grouping
         # (tile visit order and in-tile tie-breaks are ray-local), so the
         # unsorted scatter-back below is bit-identical to sort off.
-        lo = jnp.asarray(mesh_bounds[:3], jnp.float32) - center
-        hi = jnp.asarray(mesh_bounds[3:], jnp.float32) - center
-        key = _coherence_keys(
-            osx, osy, osz, dxp, dyp, dzp, one, lo, hi, sort_bits, sort_dir_bits
-        )
+        if sort_mode == "signature":
+            key = _signature_keys(
+                tile_aabb, osx, osy, osz, dxp, dyp, dzp, one, tlim[:, 0]
+            )
+        else:
+            lo = jnp.asarray(mesh_bounds[:3], jnp.float32) - center
+            hi = jnp.asarray(mesh_bounds[3:], jnp.float32) - center
+            key = _coherence_keys(
+                osx, osy, osz, dxp, dyp, dzp, one, lo, hi, sort_bits,
+                sort_dir_bits,
+            )
         perm = jnp.argsort(key)
         rayf = rayf[perm]
         tlim = tlim[perm]
+        # The chunked chain's envelope cull below reads osx..dzp directly;
+        # they MUST live in the same (sorted) order as rayf/tlim/out_t, or
+        # the cull zeroes the wrong rays' features and drops genuine hits.
+        osx, osy, osz = osx[perm], osy[perm], osz[perm]
+        dxp, dyp, dzp = dxp[perm], dyp[perm], dzp[perm]
 
     num_ray_tiles = n_pad // RAY_TILE
     grid = (num_ray_tiles,)
@@ -849,6 +980,7 @@ def mesh_intersect_mxu(
     interpret: bool = False,
     compute_uv: bool = True,
     planned: bool = False,
+    sort_mode: str = "morton",
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -870,6 +1002,7 @@ def mesh_intersect_mxu(
         mesh_bounds=mesh_bounds,
         interpret=interpret,
         planned=planned,
+        sort_mode=sort_mode,
     )
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)

@@ -45,6 +45,16 @@ def _threefry_bits_at(key: jax.Array, flat: jnp.ndarray) -> jnp.ndarray:
     """
     from jax._src import prng as _jprng
 
+    # The counter reconstruction below assumes the partitionable-threefry
+    # layout (64-bit counter == flat index).  Under the legacy layout the
+    # bits would be valid-but-DIFFERENT from uniforms(), silently breaking
+    # the cross-integrator bit-identity invariant -- fail loudly instead.
+    if not jax.config.jax_threefry_partitionable:
+        raise RuntimeError(
+            "uniforms_at requires jax_threefry_partitionable=True (the "
+            "default in modern jax); enable it with "
+            "jax.config.update('jax_threefry_partitionable', True)."
+        )
     kd = jax.random.key_data(key)
     b1, b2 = _jprng.threefry2x32_p.bind(
         kd[0], kd[1], jnp.zeros_like(flat), flat

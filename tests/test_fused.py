@@ -76,12 +76,18 @@ def test_fused_mesh_persistent_sort_invariant(repo_root):
     c = Renderer(
         mesh, dataclasses.replace(base, ray_sorting="on", ray_sort_every=2)
     )
+    d = Renderer(
+        mesh,
+        dataclasses.replace(base, ray_sorting="on", ray_sort_mode="signature"),
+    )
     for _ in range(2):
         a.step()
         b.step()
         c.step()
+        d.step()
     np.testing.assert_array_equal(a.image(), b.image())
     np.testing.assert_array_equal(a.image(), c.image())
+    np.testing.assert_array_equal(a.image(), d.image())
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
 
 

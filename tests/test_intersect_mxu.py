@@ -83,15 +83,16 @@ def test_mxu_sorted_bitexact():
         dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
         ro, rd, active, lim, sort_rays=False, **kw,
     )
-    srt = mesh_intersect_mxu(
-        dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
-        ro, rd, active, lim, sort_rays=True, **kw,
-    )
-    np.testing.assert_array_equal(np.asarray(srt.tri), np.asarray(base.tri))
-    np.testing.assert_array_equal(np.asarray(srt.t), np.asarray(base.t))
-    np.testing.assert_array_equal(np.asarray(srt.u), np.asarray(base.u))
-    np.testing.assert_array_equal(np.asarray(srt.v), np.asarray(base.v))
-    assert (np.asarray(srt.tri)[~np.asarray(active)] == -1).all()
+    for mode in ("morton", "signature"):
+        srt = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=True, sort_mode=mode, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(srt.tri), np.asarray(base.tri))
+        np.testing.assert_array_equal(np.asarray(srt.t), np.asarray(base.t))
+        np.testing.assert_array_equal(np.asarray(srt.u), np.asarray(base.u))
+        np.testing.assert_array_equal(np.asarray(srt.v), np.asarray(base.v))
+        assert (np.asarray(srt.tri)[~np.asarray(active)] == -1).all()
 
 
 def test_mxu_chunked_matches_single():
@@ -137,6 +138,62 @@ def test_mxu_chunked_matches_single():
         chunked = m._run(*args2, chunk_tris=GROUP_TRIS, **kw2)
     for a, b in zip(single, chunked):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mxu_chunked_sorted_bitexact():
+    """Chunked chain with sort_rays=True: the chunk-envelope cull must see
+    the SAME (sorted) ray order as the features it masks -- a regression
+    test for the round-2 bug where ctlo/cthi were computed from the
+    unsorted origins and zeroed the wrong rays' features."""
+    from project3_cuda_path_tracer_2025_tpu.ops import intersect_mxu as m
+
+    rng = np.random.default_rng(46)
+    scene = _random_mesh_scene(rng, n_tris=150)
+    dev, static = build_device_scene(scene)
+    n = 500
+    ro, rd = _rays(rng, n)
+    # A third of the rays point AWAY from the mesh (miss the envelope) and
+    # some t_limits are too short to reach it: the cull mask then genuinely
+    # varies per ray, so order mixups between the mask and the (sorted)
+    # features show up as dropped hits.  (With every ray hitting the
+    # envelope the mask is all-True and the bug is invisible.)
+    away = jnp.asarray(rng.random(n) < 0.33)
+    # outward radial direction from a radius-3 origin: provably exits the
+    # scene box without entering it
+    rd = Vec3(
+        jnp.where(away, ro.x / 3.0, rd.x),
+        jnp.where(away, ro.y / 3.0, rd.y),
+        jnp.where(away, ro.z / 3.0, rd.z),
+    )
+    active = jnp.asarray(rng.random(n) > 0.3)
+    lim = jnp.asarray(
+        np.where(rng.random(n) > 0.5, 3.4e38, np.where(rng.random(n) > 0.5, 2.0, 0.5)),
+        jnp.float32,
+    )
+
+    # Synthesize a 2-group table so the chain actually chunks: group 1 is
+    # all-zero features with a never-hit AABB (envelope cull must kill it).
+    feats2 = jnp.concatenate(
+        [dev.mxu_mesh.features, dev.mxu_mesh.features * 0.0], axis=1
+    )
+    never = jnp.full((1, 8), 1e30, jnp.float32).at[0, 3:6].set(-1e30)
+    aabb2 = jnp.concatenate(
+        [dev.mxu_mesh.tile_aabb, jnp.tile(never, (GROUP_TILES, 1))], axis=0
+    )
+    gaabb2 = jnp.concatenate([dev.mxu_mesh.group_aabb, never], axis=0)
+    args = (feats2, aabb2, gaabb2, dev.mxu_mesh.center,
+            ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, lim)
+    kw = dict(num_tris=static.num_triangles, padded_tris=2 * GROUP_TRIS,
+              baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds)
+    base = m._run(*args, sort_rays=False, **kw)
+    for planned in (False, True):
+        got = m._run(
+            *args, sort_rays=True, planned=planned,
+            chunk_tris=GROUP_TRIS, **kw,
+        )
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_mxu_attr_resolve_gather_matches_onehot():
