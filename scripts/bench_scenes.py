@@ -46,6 +46,7 @@ print("RESULT " + json.dumps(dict(
     tris=r.static.num_triangles,
     ms_per_frame=round(ms, 2),
     mrays_per_s=round(rays / (ms * 1e3), 1),
+    depth_alive=[int(c) for c in r._alive_counts],
     finite=bool(np.isfinite(r.image()).all()),
     **cfg_kw,
 )))

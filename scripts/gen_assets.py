@@ -146,8 +146,14 @@ def write_obj(path, verts, faces, with_normals=False):
                 f.write(f"f {a+1} {b+1} {c+1}\n")
 
 
-def cornell_mesh_scene(obj_name, scale, out_name, res=800, depth=8, iters=5000):
-    """Cornell-box scene (reference schema) around a mesh."""
+def cornell_mesh_scene(obj_name, scale, out_name, res=800, depth=8, iters=5000,
+                       closed=False):
+    """Cornell-box scene (reference schema) around a mesh.
+
+    ``closed=True`` adds the front wall exactly as the reference's
+    ``cornell_obj_phatphuck_closed.json`` does (a white cube at
+    TRANS [0,5,5] ROTAT [0,90,0] SCALE [.01,10,10]) -- the scene pair behind
+    its closed-vs-open stream-compaction study (README.md:138-151)."""
     scene = {
         "Materials": {
             "light": {"TYPE": "Emitting", "RGB": [1.0, 1.0, 1.0], "EMITTANCE": 5.0},
@@ -185,6 +191,13 @@ def cornell_mesh_scene(obj_name, scale, out_name, res=800, depth=8, iters=5000):
              "SCALE": [scale, scale, scale]},
         ],
     }
+    if closed:
+        scene["Objects"].insert(
+            6,
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 5, 5], "ROTAT": [0, 90, 0],
+             "SCALE": [0.01, 10, 10]},
+        )
     with open(os.path.join(SCENES, out_name + ".json"), "w") as f:
         json.dump(scene, f, indent=2)
 
@@ -249,6 +262,7 @@ def main():
     write_obj(os.path.join(SCENES, "obj", "ico4.obj"), v, f, with_normals=True)
     print(f"ico4: {len(f)} tris")
     cornell_mesh_scene("ico4.obj", 2.5, "cornell_mesh_5k")
+    cornell_mesh_scene("ico4.obj", 2.5, "cornell_mesh_5k_closed", closed=True)
 
     v, f = icosphere(5)
     write_obj(os.path.join(SCENES, "obj", "ico5.obj"), v, f, with_normals=True)
