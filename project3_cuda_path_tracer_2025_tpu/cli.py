@@ -71,6 +71,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="samples traced per device dispatch (amortizes tunnel latency)",
     )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="render across N chips (shard_map over the ray axis; 1 = single)",
+    )
+    p.add_argument(
+        "--parallel-mode", choices=("pixel", "sample"), default="pixel",
+        help="pixel: shard the frame across chips (bit-identical); sample: "
+        "each chip renders distinct spp of the full frame, films summed",
+    )
     p.add_argument("--checkpoint", default=None, help="write a .npz checkpoint here at exit")
     p.add_argument("--resume", default=None, help="resume from a .npz checkpoint")
     p.add_argument("--checkpoint-every", type=int, default=0, help="checkpoint every N spp")
@@ -124,6 +133,8 @@ def main(argv=None) -> int:
         mesh_intersector=args.mesh_intersector,
         ray_sorting=args.ray_sorting,
         spp_per_launch=args.spp_per_launch,
+        devices=args.devices,
+        parallel_mode=args.parallel_mode,
     )
     r = Renderer(scene, cfg, seed=args.seed)
     if args.resume:

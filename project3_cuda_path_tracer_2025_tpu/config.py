@@ -110,6 +110,15 @@ class RenderConfig:
     # Bit-identical results (tested); "auto" picks per measurement.
     mxu_traversal: str = "auto"
 
+    # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).
+    #   devices = 1: single chip (default).  devices = N: render across the
+    #   first N jax devices.  parallel_mode:
+    #   "pixel"  -- shard the W*H path slots (bit-identical to single chip)
+    #   "sample" -- each chip renders the full frame at its own iteration
+    #               number; films sum at save (one step advances N spp)
+    devices: int = 1
+    parallel_mode: str = "pixel"
+
     # Loop lowering: Python-unroll the bounce loop (better fusion, bigger
     # HLO) vs lax.fori_loop (compact HLO).  None = auto (unroll).
     unroll_bounces: Optional[bool] = None

@@ -39,15 +39,32 @@ def megakernel_iteration(
     film: Vec3,
     iteration: jnp.ndarray,  # traced scalar (1-based, like the reference)
     base_key: jax.Array,
+    shard: tuple | None = None,  # (global pixel ids [ln], global N)
 ) -> Tuple[Vec3, jnp.ndarray]:
-    """One full spp iteration. Returns (film', alive_counts[depth])."""
-    n = static.pixel_count
+    """One full spp iteration. Returns (film', alive_counts[depth]).
+
+    ``shard`` runs the iteration over one chip's pixel block inside a
+    ``shard_map`` body (``parallel.shardmap``): all RNG draws evaluate the
+    GLOBAL (pixel, depth) threefry streams at the local pixel ids
+    (``prng.uniforms_at`` -- bit-identical to the single-chip slices), so
+    the sharded film equals the single-chip film bit for bit."""
     depth = static.trace_depth
+    if shard is None:
+        n = n_global = static.pixel_count
+        idx = None
+    else:
+        idx, n_global = shard
+        n = idx.shape[0]
 
     ikey = prng.iteration_key(base_key, iteration)
-    cam_u = prng.uniforms(prng.stage_key(ikey, 0, 0), n, 4)
+    ckey = prng.stage_key(ikey, 0, 0)
+    cam_u = (
+        prng.uniforms(ckey, n, 4)
+        if shard is None
+        else prng.uniforms_at(ckey, idx, 4, n_global)
+    )
     paths = camera_ops.generate_camera_rays(
-        cam, static.width, static.height, depth, cam_u
+        cam, static.width, static.height, depth, cam_u, idx=idx
     )
 
     from ..ops import fused
@@ -69,10 +86,17 @@ def megakernel_iteration(
     def bounce(d, carry):
         paths, alive_counts = carry
         skey = prng.stage_key(ikey, d, 1)
+
+        def draw3():
+            # Unpermuted paths (paths.pixel == idx): the local slice of the
+            # global pixel-order stream.
+            if shard is None:
+                return prng.uniforms(skey, n, 3)
+            return prng.uniforms_at(skey, idx, 3, n_global)
+
         if use_fused:
-            su = prng.uniforms(skey, n, 3)
             paths = fused.fused_prim_bounce(
-                static, cfg, paths, su, interpret=fused_interpret
+                static, cfg, paths, draw3(), interpret=fused_interpret
             )
         elif use_fused_mesh:
             # d is a Python int (the bounce loop is unrolled when the fused
@@ -83,11 +107,11 @@ def megakernel_iteration(
                 dev, static, cfg, paths, su_key=skey,
                 interpret=fused_interpret,
                 resort=(d % max(1, cfg.ray_sort_every) == 0),
+                rng_n=n_global,
             )
         else:
-            su = prng.uniforms(skey, n, 3)
             isect = intersect_scene(dev, static, paths, cfg)
-            paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
+            paths = shade_ops.shade(dev, static, paths, isect, draw3(), cfg)
         alive_counts = alive_counts.at[d].set(
             jnp.sum(paths.alive.astype(jnp.int32))
         )
@@ -123,5 +147,10 @@ def megakernel_iteration(
 
     # The fused mesh path keeps paths persistently sorted; pixel ids ride
     # along, so the film scatter-adds by pixel (one ray per pixel -> exact).
-    film = film_ops.accumulate(film, paths, permuted=use_fused_mesh)
+    # Sharded: the sort permutes within the chip's block only, so shifting
+    # by the block's first pixel id maps into the local film exactly.
+    film = film_ops.accumulate(
+        film, paths, permuted=use_fused_mesh,
+        base=0 if shard is None else idx[0],
+    )
     return film, alive_counts

@@ -68,12 +68,27 @@ class Renderer:
         self.orbit = OrbitState.from_camera(scene.state.camera)
         self._base_key = jax.random.PRNGKey(seed)
         self.iteration = 0
-        self.film: Vec3 = film_ops.new_film(self.static.pixel_count)
+        self._spp_stride = 1  # spp advanced per dispatch (sample-parallel: N)
+        self._mesh = None
+        if cfg.devices > 1:
+            from ..parallel import shardmap
+
+            self._mesh = shardmap.make_pixel_mesh(cfg.devices)
+        self.film: Vec3 = self._new_film()
         self.stats = FrameStats()
         self._alive_counts = np.zeros(self.static.trace_depth, np.int64)
         self._refresh_camera()
 
         self._build_step()
+
+    def _new_film(self) -> Vec3:
+        if self._mesh is not None:
+            from ..parallel import shardmap
+
+            return shardmap.sharded_film(
+                self.static, self._mesh, self.cfg.parallel_mode
+            )
+        return film_ops.new_film(self.static.pixel_count)
 
     def _build_step(self) -> None:
         """(Re)build the jitted per-iteration step.  When the whole-iteration
@@ -86,6 +101,22 @@ class Renderer:
         cfg_ = self.cfg
         dev_ = self.dev
         static_ = self.static
+
+        if self._mesh is not None:
+            # Multi-chip: the whole iteration runs inside shard_map (every
+            # Pallas kernel executes per-chip on local shapes); the
+            # whole-iteration fused kernel is a single-chip specialization
+            # and is not used here.
+            from ..parallel import shardmap
+
+            step, iter_fn, stride = shardmap.make_sharded_step(
+                dev_, static_, cfg_, self._mesh, cfg_.parallel_mode
+            )
+            self._step = step
+            self._iter_fn = iter_fn
+            self._spp_stride = stride
+            self._step_many_cache = {}
+            return
         iter_fn = (
             wavefront_iteration
             if cfg_.integrator == "wavefront"
@@ -150,13 +181,14 @@ class Renderer:
 
     def reset(self) -> None:
         self.iteration = 0
-        self.film = film_ops.new_film(self.static.pixel_count)
+        self.film = self._new_film()
         self.stats = FrameStats()
 
     # -- rendering -------------------------------------------------------------
     def step(self) -> None:
-        """Trace one spp iteration (reference: one ``pathtrace()`` frame)."""
-        self.iteration += 1
+        """Trace one spp iteration (reference: one ``pathtrace()`` frame).
+        Sample-parallel multi-chip advances ``cfg.devices`` spp per call."""
+        self.iteration += self._spp_stride
         t0 = time.perf_counter()
         self.film, alive = self._step(
             self._cam_state,
@@ -196,11 +228,12 @@ class Renderer:
         if k not in self._step_many_cache:
             iter_fn = self._iter_fn
             depth = self.static.trace_depth
+            stride = self._spp_stride
 
             def _many(cam: CameraState, film: Vec3, it0, key):
                 def body(i, carry):
                     film, _ = carry
-                    return iter_fn(cam, film, it0 + i, key)
+                    return iter_fn(cam, film, it0 + i * stride, key)
 
                 init = (film, jnp.zeros((depth,), jnp.int32))
                 return jax.lax.fori_loop(0, k, body, init)
@@ -218,21 +251,25 @@ class Renderer:
         roundtrip): use it when chaining many batches back-to-back and sync
         once at the end (``device_sync``) -- per-call wall stats are then
         enqueue times, not compute times."""
-        if k == 1:
+        stride = self._spp_stride
+        n_disp = max(1, k // stride)  # k is in spp; each dispatch = stride spp
+        if n_disp == 1:
             self.step()
             return
         args = (
-            self._cam_state, self.film, jnp.int32(self.iteration + 1), self._base_key
+            self._cam_state, self.film,
+            jnp.int32(self.iteration + stride), self._base_key,
         )
-        fn = self._step_many_fn(k, example_args=args)
+        fn = self._step_many_fn(n_disp, example_args=args)
         t0 = time.perf_counter()
         self.film, alive = fn(*args)
         if sync:
             timers.device_sync(self.film.x)
-        dt_ms = (time.perf_counter() - t0) * 1e3 / k
-        for _ in range(k):
+        spp_done = n_disp * stride
+        dt_ms = (time.perf_counter() - t0) * 1e3 / spp_done
+        for _ in range(spp_done):
             self.stats.add(dt_ms)
-        self.iteration += k
+        self.iteration += spp_done
         self._alive_counts = np.asarray(alive)
 
     def render(
@@ -274,9 +311,18 @@ class Renderer:
             path=path,
         )
 
+    def _flat_film(self) -> Vec3:
+        if self._mesh is not None and self.cfg.parallel_mode == "sample":
+            from ..parallel import shardmap
+
+            return shardmap.film_to_flat(self.film, "sample")
+        return self.film
+
     def image(self) -> np.ndarray:
         """Accumulated film as [H, W, 3] (host copy happens here only)."""
-        return film_ops.to_host_image(self.film, self.static.width, self.static.height)
+        return film_ops.to_host_image(
+            self._flat_film(), self.static.width, self.static.height
+        )
 
     def image_normalized(self) -> np.ndarray:
         return self.image() / max(1, self.iteration)
@@ -293,21 +339,42 @@ class Renderer:
 
     # -- checkpoint / resume ---------------------------------------------------
     def checkpoint(self, path: str) -> None:
+        """Checkpoints are always the FLAT [N] accumulator (sample-parallel
+        rows are summed first), so they move freely between single-chip and
+        any multi-chip configuration."""
         parent = os.path.dirname(os.path.abspath(path))
         os.makedirs(parent, exist_ok=True)
+        film = self._flat_film()
         np.savez_compressed(
             path,
-            film_x=np.asarray(self.film.x),
-            film_y=np.asarray(self.film.y),
-            film_z=np.asarray(self.film.z),
+            film_x=np.asarray(film.x),
+            film_y=np.asarray(film.y),
+            film_z=np.asarray(film.z),
             iteration=self.iteration,
             key=np.asarray(jax.random.key_data(self._base_key)),
         )
 
     def restore(self, path: str) -> None:
         d = np.load(path)
-        self.film = Vec3(
+        film = Vec3(
             jnp.asarray(d["film_x"]), jnp.asarray(d["film_y"]), jnp.asarray(d["film_z"])
         )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self.cfg.parallel_mode == "sample":
+                # Accumulation is additive: restore into chip row 0, zero the
+                # rest -- the summed film is identical and every chip keeps
+                # rendering its own future iterations.
+                nd = self._mesh.devices.size
+                pad = lambda x: jnp.concatenate(
+                    [x[None], jnp.zeros((nd - 1, x.shape[0]), x.dtype)], axis=0
+                )
+                film = Vec3(pad(film.x), pad(film.y), pad(film.z))
+                sh = NamedSharding(self._mesh, P("rays", None))
+            else:
+                sh = NamedSharding(self._mesh, P("rays"))
+            film = Vec3(*[jax.device_put(a, sh) for a in film])
+        self.film = film
         self.iteration = int(d["iteration"])
         self._base_key = jax.random.wrap_key_data(jnp.asarray(d["key"]))

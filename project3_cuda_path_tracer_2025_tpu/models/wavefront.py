@@ -41,14 +41,26 @@ def wavefront_iteration(
     film: Vec3,
     iteration: jnp.ndarray,
     base_key: jax.Array,
+    shard: tuple | None = None,  # (global pixel ids [ln], global N) --
+    #   run one chip's block inside shard_map; see megakernel_iteration
 ) -> Tuple[Vec3, jnp.ndarray]:
-    n = static.pixel_count
     depth = static.trace_depth
+    if shard is None:
+        n = n_global = static.pixel_count
+        idx = None
+    else:
+        idx, n_global = shard
+        n = idx.shape[0]
 
     ikey = prng.iteration_key(base_key, iteration)
-    cam_u = prng.uniforms(prng.stage_key(ikey, 0, 0), n, 4)
+    ckey = prng.stage_key(ikey, 0, 0)
+    cam_u = (
+        prng.uniforms(ckey, n, 4)
+        if shard is None
+        else prng.uniforms_at(ckey, idx, 4, n_global)
+    )
     paths = camera_ops.generate_camera_rays(
-        cam, static.width, static.height, depth, cam_u
+        cam, static.width, static.height, depth, cam_u, idx=idx
     )
 
     def bounce(d, carry):
@@ -64,7 +76,9 @@ def wavefront_iteration(
         # ray's random stream is permutation-invariant by construction and
         # no gather through the compaction/sort permutation is needed
         # (bit-identical to drawing in pixel order and gathering).
-        su = prng.uniforms_at(prng.stage_key(ikey, d, 1), paths.pixel, 3, n)
+        su = prng.uniforms_at(
+            prng.stage_key(ikey, d, 1), paths.pixel, 3, n_global
+        )
         paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
 
         if cfg.stream_compaction:
@@ -82,5 +96,7 @@ def wavefront_iteration(
     else:
         paths, alive_counts = jax.lax.fori_loop(0, depth, bounce, carry)
 
-    film = film_ops.accumulate(film, paths, permuted=True)
+    film = film_ops.accumulate(
+        film, paths, permuted=True, base=0 if shard is None else idx[0]
+    )
     return film, alive_counts

@@ -25,9 +25,15 @@ def generate_camera_rays(
     height: int,
     trace_depth: int,
     uniforms: jnp.ndarray,  # [4, N] U[0,1)
+    idx: jnp.ndarray | None = None,  # global pixel ids (default: all W*H)
 ) -> PathState:
-    n = width * height
-    idx = jnp.arange(n, dtype=jnp.int32)
+    """``idx`` selects which pixels to generate rays for -- the full frame
+    by default, or one chip's contiguous block under ``shard_map``
+    (``parallel.shardmap``); the math is position-independent so a sharded
+    raygen is bit-identical to the corresponding slice of the full one."""
+    if idx is None:
+        idx = jnp.arange(width * height, dtype=jnp.int32)
+    n = idx.shape[0]
     x = (idx % width).astype(jnp.float32)
     y = (idx // width).astype(jnp.float32)
 

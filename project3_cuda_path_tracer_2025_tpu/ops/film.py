@@ -20,15 +20,20 @@ def new_film(n: int) -> Vec3:
     return Vec3.zeros((n,))
 
 
-def accumulate(film: Vec3, paths: PathState, permuted: bool = False) -> Vec3:
+def accumulate(
+    film: Vec3, paths: PathState, permuted: bool = False, base=0
+) -> Vec3:
     """film[pixel] += color.  When the wavefront integrator has permuted the
     path slots, scatter-add by pixel index; otherwise slots are in pixel
-    order and it is a pure vector add."""
+    order and it is a pure vector add.  ``base`` shifts global pixel ids to
+    local film indices inside a shard_map block (pixel-parallel multi-chip:
+    a chip's film covers pixels [base, base + local_n))."""
     if permuted:
+        dst = paths.pixel if isinstance(base, int) and base == 0 else paths.pixel - base
         return Vec3(
-            film.x.at[paths.pixel].add(paths.color.x),
-            film.y.at[paths.pixel].add(paths.color.y),
-            film.z.at[paths.pixel].add(paths.color.z),
+            film.x.at[dst].add(paths.color.x),
+            film.y.at[dst].add(paths.color.y),
+            film.z.at[dst].add(paths.color.z),
         )
     return film + paths.color
 

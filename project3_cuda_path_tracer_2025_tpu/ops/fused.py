@@ -392,6 +392,8 @@ def fused_mesh_bounce(
     interpret: bool = False,
     resort: bool = True,
     su_key: jax.Array = None,  # stage key: draw per-pixel uniforms in place
+    rng_n: int = None,  # global pixel count for the RNG stream (shard_map:
+    #                     the local block draws from the GLOBAL stream)
 ) -> PathState:
     """One full mesh-scene bounce: prim-t prepass + sorted MXU intersect +
     attr resolve/interp (XLA) + the fused prim-intersect/merge/shade kernel.
@@ -430,7 +432,7 @@ def fused_mesh_bounce(
         # random stream follows its PIXEL, so any permutation history is
         # invisible): elementwise threefry, no gather.
         n = paths.pixel.shape[0]
-        uniforms = prng.uniforms_at(su_key, paths.pixel, 3, n)
+        uniforms = prng.uniforms_at(su_key, paths.pixel, 3, rng_n or n)
     elif sort_rays:
         # Pixel-order planes were passed: route them through the (possibly
         # historical) permutation with one [N, 3] row gather.

@@ -13,9 +13,16 @@ N = W*H path slots across a 1-D device mesh ("rays" axis) over ICI:
   gather at save time.
 
 Dividing work by pixel keeps the film's scatter-add local to each shard, so
-no ring/all-reduce is ever needed on the film itself.  An alternative
-sample-parallel mode (each chip renders different spp of the full frame,
-films summed on save) is available for resolutions that don't divide evenly.
+no ring/all-reduce is ever needed on the film itself.
+
+This module uses XLA's AUTOMATIC partitioner (jit + shardings), which cannot
+split Pallas custom calls -- it covers the jnp integrator paths and serves
+as the sharding oracle in tests.  The PRODUCTION multi-chip path is
+``parallel.shardmap``: the whole iteration (including every Pallas kernel)
+runs inside ``jax.shard_map`` per chip, and it adds the sample-parallel
+mode (each chip renders different spp of the full frame, films summed on
+save) for resolutions that don't divide evenly.  ``RenderConfig(devices=N)``
+routes the Renderer/CLI through it.
 """
 
 from __future__ import annotations

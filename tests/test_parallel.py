@@ -90,3 +90,116 @@ def test_film_is_actually_sharded(scenes_dir):
     sharding = film.x.sharding
     # one distinct shard per device along the ray axis
     assert len(sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_shardmap_pixel_parallel_bitexact(scenes_dir):
+    """Production multi-chip path (shard_map over the ray axis) ==
+    single-chip, bit for bit: every RNG draw evaluates the global
+    (pixel, depth) stream at local pixel ids (prng.uniforms_at)."""
+    import numpy as np
+
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+    from project3_cuda_path_tracer_2025_tpu.scene import load_scene, set_resolution
+
+    s = set_resolution(load_scene(str(scenes_dir / "cornell.json")), 32, 32)
+    a = Renderer(s, RenderConfig())
+    b = Renderer(s, RenderConfig(devices=8, parallel_mode="pixel"))
+    for _ in range(2):
+        a.step()
+        b.step()
+    np.testing.assert_array_equal(a.image(), b.image())
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+    assert len(b.film.x.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_shardmap_sample_parallel(scenes_dir):
+    """Sample-parallel mode: one 8-chip step == 8 single-chip iterations
+    (same iteration keys; film rows summed at save)."""
+    import numpy as np
+
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+    from project3_cuda_path_tracer_2025_tpu.scene import load_scene, set_resolution
+
+    s = set_resolution(load_scene(str(scenes_dir / "cornell.json")), 16, 16)
+    a = Renderer(s, RenderConfig())
+    for _ in range(8):
+        a.step()
+    b = Renderer(s, RenderConfig(devices=8, parallel_mode="sample"))
+    b.step()
+    assert b.iteration == 8
+    np.testing.assert_allclose(b.image(), a.image(), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_shardmap_fused_kernels_sharded(scenes_dir, repo_root):
+    """The PRODUCTION Pallas kernels (fused prim bounce; MXU intersect +
+    fused mesh bounce with persistent coherence sort) run per-chip inside
+    shard_map -- interpret mode on the CPU mesh.  Tolerance 1e-6: interpret
+    mode re-fuses FMA contraction differently per program shape (same class
+    as the fused-vs-unfused single-chip tests)."""
+    import numpy as np
+
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+    from project3_cuda_path_tracer_2025_tpu.scene import load_scene, set_resolution
+
+    s = set_resolution(load_scene(str(scenes_dir / "cornell.json")), 16, 16)
+    a = Renderer(s, RenderConfig(fused_bounce="on"))
+    b = Renderer(s, RenderConfig(fused_bounce="on", devices=8))
+    for _ in range(2):
+        a.step()
+        b.step()
+    np.testing.assert_allclose(a.image(), b.image(), atol=1e-6)
+
+    m = set_resolution(load_scene(str(repo_root / "scenes" / "cornell_mesh_5k.json")), 16, 16)
+    m.state.trace_depth = 3
+    kw = dict(mesh_intersector="mxu", fused_bounce="on", ray_sorting="on")
+    c = Renderer(m, RenderConfig(**kw))
+    d = Renderer(m, RenderConfig(devices=8, **kw))
+    c.step()
+    d.step()
+    np.testing.assert_allclose(c.image(), d.image(), atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_shardmap_wavefront_bitexact(scenes_dir):
+    """Wavefront (compaction permutations + scatter-add film with local
+    pixel bases) under shard_map == single chip, bitwise."""
+    import numpy as np
+
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+    from project3_cuda_path_tracer_2025_tpu.scene import load_scene, set_resolution
+
+    s = set_resolution(load_scene(str(scenes_dir / "cornell.json")), 16, 16)
+    a = Renderer(s, RenderConfig(integrator="wavefront"))
+    b = Renderer(s, RenderConfig(integrator="wavefront", devices=8))
+    a.step()
+    b.step()
+    np.testing.assert_array_equal(a.image(), b.image())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_shardmap_checkpoint_roundtrip(scenes_dir, tmp_path):
+    """Checkpoints are flat [N] films; they restore into any device layout
+    (single -> sample-parallel here) without changing the image."""
+    import numpy as np
+
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+    from project3_cuda_path_tracer_2025_tpu.scene import load_scene, set_resolution
+
+    s = set_resolution(load_scene(str(scenes_dir / "cornell.json")), 16, 16)
+    a = Renderer(s, RenderConfig())
+    a.step()
+    ck = str(tmp_path / "c.npz")
+    a.checkpoint(ck)
+    b = Renderer(s, RenderConfig(devices=8, parallel_mode="sample"))
+    b.restore(ck)
+    np.testing.assert_array_equal(b.image(), a.image())
+    b.step()  # resumes: samples 2..9
+    assert b.iteration == 9
