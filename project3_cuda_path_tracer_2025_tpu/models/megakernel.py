@@ -81,6 +81,13 @@ def megakernel_iteration(
         and not use_fused
         and fused.fused_mesh_applicable(static, cfg)
     )
+    # Textured-prim scenes: surface resolve in XLA, BSDF scatter in Pallas.
+    use_fused_tex = (
+        (force or auto)
+        and not use_fused
+        and not use_fused_mesh
+        and fused.fused_tex_applicable(static, cfg)
+    )
     fused_interpret = jax.default_backend() == "cpu"
 
     def bounce(d, carry):
@@ -108,6 +115,11 @@ def megakernel_iteration(
                 interpret=fused_interpret,
                 resort=(d % max(1, cfg.ray_sort_every) == 0),
                 rng_n=n_global,
+            )
+        elif use_fused_tex:
+            paths = fused.fused_tex_bounce(
+                dev, static, cfg, paths, su_key=skey,
+                interpret=fused_interpret, rng_n=n_global,
             )
         else:
             isect = intersect_scene(dev, static, paths, cfg)

@@ -201,11 +201,11 @@ def fused_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
 def _mesh_bounce_kernel(
     prim_static: SceneStatic,  # static with num_triangles=0 (prims only)
     cfg: RenderConfig,
-    textured: bool,
-    # refs: inputs (mar/mag/mab present only when textured)
+    mode: str,  # "plain" | "textured" | "precomputed"
+    # refs: inputs (mar/mag/mab present unless "plain")
     *refs,
 ):
-    if textured:
+    if mode in ("textured", "precomputed"):
         (ox, oy, oz, dx, dy, dz, cr, cg, cb, bn,
          mt, mnx, mny, mnz, mmat, mar, mag, mab,
          u0, u1, u2,
@@ -222,33 +222,56 @@ def _mesh_bounce_kernel(
         pixel=bn[:],  # placeholder; never read by scatter_compose
         bounces=bn[:],
     )
-    isect_p = intersect_scene(None, prim_static, paths, cfg)
-
-    # Merge the precomputed mesh hit.  The MXU kernel ran with the prim
-    # nearest t as its t_limit, so tri_hit already implies mesh-closer
-    # (exact prim ties resolve to the prim, as in intersect_scene).
     mesh_mat = mmat[:]
-    tri_hit = mesh_mat >= 0
     mn = Vec3(mnx[:], mny[:], mnz[:])
-    if not textured:
-        # Textured mode passes the final mesh SHADING normal (already
-        # oriented + bump-perturbed in the XLA surface stage).
-        flip = vec.dot(paths.direction, mn) > 0.0
-        mn = vec.where(flip, -mn, mn)
 
-    t = jnp.where(tri_hit, mt[:], isect_p.t)
-    normal = vec.where(tri_hit, mn, isect_p.normal)
-    mat = jnp.where(tri_hit, mesh_mat, isect_p.material_id)
+    if mode == "precomputed":
+        # The WHOLE surface (prims + mesh merge + texture/bump) was resolved
+        # in XLA (textured-prim scenes: texture gathers can't lower in
+        # Mosaic, and prim uv/tangents only exist post-intersection).  The
+        # kernel is the scatter/BSDF stage only -- inputs are the final
+        # (t, shading normal, material, albedo) per lane.
+        from .rays import Intersections
+
+        zero = jnp.zeros_like(mt[:])
+        t = mt[:]
+        normal = mn
+        mat = mesh_mat
+        isect_p = Intersections(
+            t=t, normal=normal, material_id=mat, uv_u=zero, uv_v=zero,
+            dpdu=Vec3(zero, zero, zero), dpdv=Vec3(zero, zero, zero),
+            is_triangle=zero > 0.0,  # unused by scatter_compose
+        )
+    else:
+        isect_p = intersect_scene(None, prim_static, paths, cfg)
+
+        # Merge the precomputed mesh hit.  The MXU kernel ran with the prim
+        # nearest t as its t_limit, so tri_hit already implies mesh-closer
+        # (exact prim ties resolve to the prim, as in intersect_scene).
+        tri_hit = mesh_mat >= 0
+        if mode != "textured":
+            # Textured mode passes the final mesh SHADING normal (already
+            # oriented + bump-perturbed in the XLA surface stage).
+            flip = vec.dot(paths.direction, mn) > 0.0
+            mn = vec.where(flip, -mn, mn)
+
+        t = jnp.where(tri_hit, mt[:], isect_p.t)
+        normal = vec.where(tri_hit, mn, isect_p.normal)
+        mat = jnp.where(tri_hit, mesh_mat, isect_p.material_id)
 
     mid = jnp.clip(mat, 0, prim_static.num_materials - 1)
     albedo, emitt, refl, refr, ior, rough, metal = _const_material_params(
         prim_static, mid
     )
-    if textured:
+    if mode == "textured":
         # Mesh lanes: texture-overridden albedo from the XLA surface stage.
         # Prim lanes keep const-chain albedo (the fused gate guarantees no
         # prim material has a texture or bump map).
         albedo = vec.where(tri_hit, Vec3(mar[:], mag[:], mab[:]), albedo)
+    elif mode == "precomputed":
+        # Every lane's albedo arrives fully resolved (base color + texture
+        # override, prim and mesh uniformly -- src/pathtrace.cu:549-553).
+        albedo = Vec3(mar[:], mag[:], mab[:])
     isect = isect_p._replace(t=t, normal=normal, material_id=mat)
     out = shade_ops.scatter_compose(
         cfg,
@@ -271,7 +294,9 @@ def _mesh_bounce_kernel(
     o_bn[:] = out.bounces
 
 
-@functools.partial(jax.jit, static_argnames=("prim_static", "cfg", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("prim_static", "cfg", "interpret", "mode")
+)
 def _fused_mesh_shade(
     prim_static: SceneStatic,
     cfg: RenderConfig,
@@ -280,13 +305,15 @@ def _fused_mesh_shade(
     mesh_normal: Vec3,
     mesh_mat: jnp.ndarray,  # i32, -1 = no mesh hit
     uniforms: jnp.ndarray,  # [3, N]
-    mesh_albedo: Vec3 = None,  # textured scenes: per-lane mesh albedo
+    mesh_albedo: Vec3 = None,  # textured/precomputed: per-lane albedo
     interpret: bool = False,
+    mode: str = None,  # None = infer plain/textured from mesh_albedo
 ) -> PathState:
     n = paths.pixel.shape[0]
     block = BLOCK_ROWS * 128
     n_pad = ((n + block - 1) // block) * block
-    textured = mesh_albedo is not None
+    if mode is None:
+        mode = "plain" if mesh_albedo is None else "textured"
 
     def prep(x, fill=0):
         return jnp.pad(x, (0, n_pad - n), constant_values=fill).reshape(-1, 128)
@@ -300,14 +327,14 @@ def _fused_mesh_shade(
         prep(mesh_t), prep(mesh_normal.x), prep(mesh_normal.y),
         prep(mesh_normal.z), prep(mesh_mat, fill=-1),
     ]
-    if textured:
+    if mode in ("textured", "precomputed"):
         ins += [prep(mesh_albedo.x), prep(mesh_albedo.y), prep(mesh_albedo.z)]
     ins += [prep(uniforms[0]), prep(uniforms[1]), prep(uniforms[2])]
     rows = n_pad // 128
     grid = (rows // BLOCK_ROWS,)
     bspec = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_mesh_bounce_kernel, prim_static, cfg, textured)
+    kern = functools.partial(_mesh_bounce_kernel, prim_static, cfg, mode)
     shapes = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 9 + [
         jax.ShapeDtypeStruct((rows, 128), jnp.int32)
     ]
@@ -335,15 +362,61 @@ def fused_mesh_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
     supported when the textures live on MESH materials only (texture/bump
     sampling then runs in the XLA surface stage between the MXU intersect
     and this kernel; reference behavior ``src/pathtrace.cu:505-519``).  A
-    textured/bumped material on an analytic prim falls back to the unfused
-    path (prim hits resolve inside the Pallas kernel, where texture gathers
-    cannot lower)."""
+    textured/bumped material on an analytic prim takes ``fused_tex_bounce``
+    instead (prim uv/tangents only exist post-intersection, and texture
+    gathers cannot lower in Mosaic, so the whole surface resolves in XLA
+    and the kernel runs the scatter/BSDF stage)."""
     return (
         static.has_triangles
         and not (static.num_textures > 0 and static.prim_textured)
         and cfg.shader == "full"
         and cfg.bvh_acceleration
         and cfg.mesh_intersector in ("auto", "mxu")
+    )
+
+
+def fused_tex_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
+    """Textured-PRIM scenes (with or without a mesh): full intersect +
+    texture/bump surface resolve in XLA (shared verbatim with the unfused
+    shade), scatter/BSDF in the Pallas kernel."""
+    return (
+        static.num_textures > 0
+        and static.prim_textured
+        and cfg.shader == "full"
+    )
+
+
+def fused_tex_bounce(
+    dev,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    paths: PathState,
+    su_key: jax.Array,
+    interpret: bool = False,
+    rng_n: int = None,
+) -> PathState:
+    """One bounce for textured-prim scenes: ``intersect_scene`` (any
+    intersector backend, incl. the internally-sorted MXU chain) and
+    ``textured_surface`` run in XLA exactly as the unfused shade does
+    (reference shades prim and mesh textures uniformly,
+    ``src/pathtrace.cu:549-553``); the BSDF scatter stage -- the largest
+    XLA-intermediate producer after intersection -- runs in the Pallas
+    kernel (``mode="precomputed"``)."""
+    import dataclasses
+
+    n = paths.pixel.shape[0]
+    uniforms = prng.uniforms_at(su_key, paths.pixel, 3, rng_n or n)
+    isect = intersect_scene(dev, static, paths, cfg)
+    mid = jnp.clip(isect.material_id, 0, static.num_materials - 1)
+    base = vec.select_gather(dev.materials.color, mid)
+    live = (paths.bounces > 0) & (isect.t > 0.0)
+    albedo, shading_normal = shade_ops.textured_surface(
+        dev, static, isect, mid, base, live=live
+    )
+    prim_static = dataclasses.replace(static, num_triangles=0)
+    return _fused_mesh_shade(
+        prim_static, cfg, paths, isect.t, shading_normal, isect.material_id,
+        uniforms, mesh_albedo=albedo, interpret=interpret, mode="precomputed",
     )
 
 

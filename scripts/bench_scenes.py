@@ -87,6 +87,7 @@ def main():
         ("scenes/cornell_mesh_5k.json", {}),
         ("scenes/cornell_mesh_20k.json", {}),
         ("scenes/cornell_mesh_textured.json", {}),
+        ("scenes/cornell_prim_textured.json", {}),  # precomputed-surface fused
         ("scenes/cornell_mesh_80k.json", {}),  # chunked MXU chain
         ("scenes/cornell_mesh_200k.json", {}),  # cyrene-class heavy mesh
     ]

@@ -250,6 +250,60 @@ def cornell_textured_scene(obj_name, scale, out_name, res=800, depth=8,
         json.dump(scene, f, indent=2)
 
 
+def cornell_prim_textured_scene(out_name, with_mesh, res=800, depth=8,
+                                iters=5000):
+    """Textured analytic SPHERE in the cornell box.  The reference shades
+    prim and mesh textures uniformly (src/pathtrace.cu:549-553) but gives
+    prims uv = (0,0) (:115), so a textured prim renders the texel at (0,1)
+    flat -- this scene reproduces exactly that quirk (no BUMP_MAP: with the
+    prims' zero tangent frames the reference's perturbation would
+    glm::normalize(vec3(0)) -> NaN).  ``with_mesh`` adds an untextured mesh
+    so the scene exercises the precomputed-surface fused path with a mesh
+    merge."""
+    scene = {
+        "Materials": {
+            "light": {"TYPE": "Emitting", "RGB": [1.0, 1.0, 1.0], "EMITTANCE": 5.0},
+            "diffuse_white": {"TYPE": "Diffuse", "RGB": [0.98, 0.98, 0.98]},
+            "diffuse_red": {"TYPE": "Diffuse", "RGB": [0.85, 0.35, 0.35]},
+            "diffuse_green": {"TYPE": "Diffuse", "RGB": [0.35, 0.85, 0.35]},
+            "sphere_tex": {
+                "TYPE": "Diffuse", "RGB": [1.0, 1.0, 1.0],
+                "TEXTURE": WAHOO,
+            },
+            "mesh_mat": {"TYPE": "Diffuse", "RGB": [0.85, 0.7, 0.45]},
+        },
+        "Camera": {
+            "RES": [res, res], "FOVY": 45.0, "ITERATIONS": iters,
+            "DEPTH": depth, "FILE": out_name,
+            "EYE": [0.0, 5.0, 10.5], "LOOKAT": [0.0, 5.0, 0.0],
+            "UP": [0.0, 1.0, 0.0], "APERTURE": 0.0,
+        },
+        "Objects": [
+            {"TYPE": "cube", "MATERIAL": "light",
+             "TRANS": [0, 10, 0], "ROTAT": [0, 0, 0], "SCALE": [3, 0.3, 3]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 0, 0], "ROTAT": [0, 0, 0], "SCALE": [10, 0.01, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 10, 0], "ROTAT": [0, 0, 90], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_white",
+             "TRANS": [0, 5, -5], "ROTAT": [0, 90, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_red",
+             "TRANS": [-5, 5, 0], "ROTAT": [0, 0, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "cube", "MATERIAL": "diffuse_green",
+             "TRANS": [5, 5, 0], "ROTAT": [0, 0, 0], "SCALE": [0.01, 10, 10]},
+            {"TYPE": "sphere", "MATERIAL": "sphere_tex",
+             "TRANS": [-2, 4, 0], "ROTAT": [0, 0, 0], "SCALE": [4, 4, 4]},
+        ],
+    }
+    if with_mesh:
+        scene["Objects"].append(
+            {"TYPE": "obj", "PATH": "obj/ico4.obj", "MATERIAL": "mesh_mat",
+             "TRANS": [2.5, 4, 0], "ROTAT": [0, 30, 0], "SCALE": [1.8, 1.8, 1.8]}
+        )
+    with open(os.path.join(SCENES, out_name + ".json"), "w") as f:
+        json.dump(scene, f, indent=2)
+
+
 def main():
     os.makedirs(os.path.join(SCENES, "obj"), exist_ok=True)
 
@@ -257,6 +311,7 @@ def main():
     write_obj_uv(os.path.join(SCENES, "obj", "uvsphere5k.obj"), v, uv, f)
     print(f"uvsphere: {len(f)} tris")
     cornell_textured_scene("uvsphere5k.obj", 2.5, "cornell_mesh_textured")
+    cornell_prim_textured_scene("cornell_prim_textured", with_mesh=True)
 
     v, f = icosphere(4)
     write_obj(os.path.join(SCENES, "obj", "ico4.obj"), v, f, with_normals=True)

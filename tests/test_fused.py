@@ -175,3 +175,30 @@ def test_fused_auto_off_on_cpu(cornell_tiny):
     # single-core box (10s flaked under full-suite load).  This catches
     # "auto" accidentally selecting Pallas-interpret on CPU.
     assert elapsed < 30.0, f"auto path took {elapsed:.1f}s on CPU - interpreted kernel?"
+
+
+def test_fused_prim_textured_matches_unfused(repo_root):
+    """Textured-PRIM scene (reference quirk: prims have uv=(0,0), so the
+    texture shades flat, src/pathtrace.cu:115,549-553): the precomputed-
+    surface fused path (intersect + texture resolve in XLA, BSDF scatter in
+    the Pallas kernel) must match the unfused megakernel."""
+    from project3_cuda_path_tracer_2025_tpu.ops import fused as fused_mod
+
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_prim_textured.json")),
+        12, 12,
+    )
+    mesh.state.trace_depth = 3
+    import dataclasses
+
+    base = RenderConfig(mesh_intersector="mxu", ray_sorting="off")
+    assert fused_mod.fused_tex_applicable(
+        Renderer(mesh, base).static, dataclasses.replace(base, fused_bounce="on")
+    )
+    a = Renderer(mesh, dataclasses.replace(base, fused_bounce="off"))
+    b = Renderer(mesh, dataclasses.replace(base, fused_bounce="on"))
+    for _ in range(2):
+        a.step()
+        b.step()
+    np.testing.assert_allclose(a.image(), b.image(), atol=1e-6)
+    assert np.isfinite(b.image()).all() and b.image().mean() > 0.001
