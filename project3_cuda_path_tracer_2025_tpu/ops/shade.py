@@ -129,12 +129,18 @@ def textured_surface(
     du = 1.0 / tw_b.astype(jnp.float32)
     dv = 1.0 / th_b.astype(jnp.float32)
 
-    # ---- two texel-quad gathers: albedo + precomputed bump gradients -----
+    # ---- texel-quad gather(s): albedo + precomputed bump gradients -------
     # (src/pathtrace.cu:549-553 texture override; :579-607 bump heights)
+    # When no material pairs a texture with a DIFFERENT bump map (static
+    # per scene), both come from one packed-row gather.
+    single_quad = all(
+        m.texture_id < 0 or m.bump_id < 0 or m.texture_id == m.bump_id
+        for m in ms
+    )
     tex_rgb, gdu_raw, gdv_raw = texture.sample_surface(
         dev.textures, nt, static.tex_wmax, static.tex_hmax,
         tex_id, bump_id, isect.uv_u, isect.uv_v,
-        tw_t, th_t, tw_b, th_b, live=live,
+        tw_t, th_t, tw_b, th_b, live=live, single_quad=single_quad,
     )
     albedo = vec.where(tex_id >= 0, tex_rgb, albedo)
 

@@ -101,6 +101,7 @@ def sample_surface(
     tw_b: jnp.ndarray,  # bump dims per lane
     th_b: jnp.ndarray,
     live: jnp.ndarray = None,  # lanes whose result is consumed
+    single_quad: bool = False,  # no material has distinct texture/bump ids
 ):
     """The shading path's full texture traffic in two texel-quad gathers:
     one bilinear RGBA sample (albedo) and one bilinear sample of the
@@ -122,14 +123,48 @@ def sample_surface(
 
     (qa, fxa, fya) = _bilinear_prep(tid, uv_u, 1.0 - uv_v, tw_t, th_t, wmax, hmax)
     (qb, fxb, fyb) = _bilinear_prep(bid, uv_u, 1.0 - uv_v, tw_b, th_b, wmax, hmax)
-    if live is not None:
-        qa = tuple(jnp.where(live & valid_t, i, 0) for i in qa)
-        qb = tuple(jnp.where(live & valid_b, i, 0) for i in qb)
-    rows_a = tex.rgba[jnp.concatenate(qa)]  # [4N, 4]
-    rows_g = tex.grad[jnp.concatenate(qb)]  # [4N, 2]
     n = uv_u.shape[0]
-    ra = [rows_a[c * n : (c + 1) * n] for c in range(4)]
-    rg = [rows_g[c * n : (c + 1) * n] for c in range(4)]
+    if single_quad and tex.packed is not None:
+        # One texel-quad gather serves BOTH albedo and bump gradients: for
+        # a lane with both valid the ids (hence indices) coincide by the
+        # single_quad precondition; otherwise the unused output is masked.
+        q = tuple(jnp.where(valid_b, ib, ia) for ia, ib in zip(qa, qb))
+        if live is not None:
+            q = tuple(
+                jnp.where(live & (valid_t | valid_b), i, 0) for i in q
+            )
+        rows = tex.packed[jnp.concatenate(q)]  # [4N, 2] i32
+        w0 = rows[:, 0]
+        w1 = rows[:, 1]
+        inv255 = jnp.float32(255.0)
+        alb4 = jnp.stack(
+            [
+                (w0 & 0xFF).astype(jnp.float32),
+                ((w0 >> 8) & 0xFF).astype(jnp.float32),
+                ((w0 >> 16) & 0xFF).astype(jnp.float32),
+            ],
+            axis=1,
+        ) / inv255  # u8/255 division reproduces the f32 stack exactly
+        grd4 = (
+            jnp.stack(
+                [
+                    ((w1 & 0x3FF) - 256).astype(jnp.float32),
+                    (((w1 >> 10) & 0x3FF) - 256).astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            / inv255
+        )
+        ra = [alb4[c * n : (c + 1) * n] for c in range(4)]
+        rg = [grd4[c * n : (c + 1) * n] for c in range(4)]
+    else:
+        if live is not None:
+            qa = tuple(jnp.where(live & valid_t, i, 0) for i in qa)
+            qb = tuple(jnp.where(live & valid_b, i, 0) for i in qb)
+        rows_a = tex.rgba[jnp.concatenate(qa)]  # [4N, 4]
+        rows_g = tex.grad[jnp.concatenate(qb)]  # [4N, 2]
+        ra = [rows_a[c * n : (c + 1) * n] for c in range(4)]
+        rg = [rows_g[c * n : (c + 1) * n] for c in range(4)]
     alb = _bilinear_combine(ra[0], ra[1], ra[2], ra[3], fxa, fya)
     grd = _bilinear_combine(rg[0], rg[1], rg[2], rg[3], fxb, fyb)
 

@@ -167,6 +167,16 @@ class TextureTable(NamedTuple):
     grad: jnp.ndarray  # [NT * Hmax * Wmax, 2] f32
     width: jnp.ndarray  # [NT] i32
     height: jnp.ndarray  # [NT] i32
+    # Packed hot-path rows: word0 = r | g<<8 | b<<16 (textures are forced
+    # RGBA8, so u8 codes reconstruct the f32 stack exactly via /255);
+    # word1 = (gdu*255+256) | (gdv*255+256)<<10 (grads are differences of
+    # u8/255 heights, so *255 is integral to ~1e-5; reconstruction error
+    # ~4e-8, far under the 2e-6 oracle gate).  8 B/texel-row instead of
+    # 16+8 across two tables: when no material has distinct texture/bump
+    # ids, albedo + bump gradients come from ONE texel-quad gather --
+    # texel traffic is HBM-random-access bound, so bytes and row count
+    # both halve (see ops.texture.sample_surface).
+    packed: jnp.ndarray = None  # [NT * Hmax * Wmax, 2] i32
 
 
 class DeviceScene(NamedTuple):
@@ -345,11 +355,19 @@ def build_device_scene(scene: HostScene) -> tuple[DeviceScene, SceneStatic]:
         h_ch = stack[i, :h_i, :w_i, 0]
         grad[i, :h_i, :w_i, 0] = np.roll(h_ch, -1, axis=1) - h_ch
         grad[i, :h_i, :w_i, 1] = np.roll(h_ch, 1, axis=0) - h_ch
+    u8 = np.clip(np.round(stack * 255.0), 0, 255).astype(np.uint32)
+    word0 = u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16)
+    gcode = (
+        np.clip(np.round(grad * 255.0), -255, 255).astype(np.int32) + 256
+    ).astype(np.uint32)
+    word1 = gcode[..., 0] | (gcode[..., 1] << 10)
+    packed = np.stack([word0, word1], axis=-1).view(np.int32)
     textures = TextureTable(
         rgba=jnp.asarray(stack.reshape(-1, 4)),
         grad=jnp.asarray(grad.reshape(-1, 2)),
         width=jnp.asarray(wh[:, 0], jnp.int32),
         height=jnp.asarray(wh[:, 1], jnp.int32),
+        packed=jnp.asarray(packed.reshape(-1, 2)),
     )
 
     material_consts = tuple(
