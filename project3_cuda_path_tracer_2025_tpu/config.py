@@ -106,8 +106,12 @@ class RenderConfig:
     # MXU-intersector traversal: "sweep" iterates every tile with in-kernel
     # slab culls; "planned" precomputes per-block front-to-back candidate
     # tile lists in XLA (scalar-prefetched) and walks them with an early
-    # exit -- the BVH's ordered descent at block x tile granularity.
-    # Bit-identical results (tested); "auto" picks per measurement.
+    # exit -- the BVH's ordered descent at block x tile granularity;
+    # "streamed" is one pallas_call for ANY mesh size (plan rows DMA'd
+    # HBM->SMEM per block, candidate feature tiles DMA'd HBM->VMEM double-
+    # buffered, GLOBAL front-to-back early exit).  Bit-identical results
+    # (tested; per-ray candidate contract in ops/intersect_mxu.py); "auto"
+    # picks planned for VMEM-resident meshes, streamed beyond CHUNK_TRIS.
     mxu_traversal: str = "auto"
 
     # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).

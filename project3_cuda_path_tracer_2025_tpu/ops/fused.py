@@ -524,7 +524,9 @@ def fused_mesh_bounce(
         mesh_bounds=static.mesh_bounds,
         interpret=interpret,
         compute_uv=False,
-        planned=cfg.mxu_traversal in ("auto", "planned"),
+        **intersect_mxu.traversal_flags(
+            cfg.mxu_traversal, static.mxu_padded_tris
+        ),
     )
     textured = static.num_textures > 0
     tri_hit = mh.tri >= 0

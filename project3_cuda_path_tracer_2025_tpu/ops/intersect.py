@@ -421,7 +421,9 @@ def intersect_scene(
                 mesh_bounds=static.mesh_bounds,
                 interpret=jax.default_backend() == "cpu",
                 compute_uv=False,  # derived below from the resolved rows
-                planned=cfg.mxu_traversal in ("auto", "planned"),
+                **intersect_mxu.traversal_flags(
+                    cfg.mxu_traversal, static.mxu_padded_tris
+                ),
             )
         elif mode == "threaded":
             mh = mesh_intersect_bvh(

@@ -67,6 +67,66 @@ NUM_F = 16  # padded ray-feature dim (10 used)
 CHUNK_TRIS = int(os.environ.get("PTT_CHUNK_TRIS", str(32 * 1024)))
 assert CHUNK_TRIS % GROUP_TRIS == 0 or CHUNK_TRIS < GROUP_TRIS
 
+# --- the candidate-set contract (why every path is bit-identical) --------
+#
+# A (ray, tile) pair is a CANDIDATE iff the ray's OWN widened slab test
+# enters the tile's AABB closer than its t_limit, and a triangle hit is
+# accepted only if it passes the MT epilogue AND its t lies inside that
+# widened slab interval.  The winner is the minimum-t (ties: lowest
+# triangle id) over this per-ray candidate set -- a definition that does
+# not mention blocks, chunks, visit order, or early exits.  Every
+# traversal (sweep / planned / streamed) evaluates each candidate pair
+# with the same f32 arithmetic and merely needs its visit set to COVER
+# the candidates, so all paths agree bit-for-bit by construction.
+#
+# Without the per-ray mask this was only empirically true: a per-BLOCK
+# any() keeps a tile alive through a blockmate, and near-degenerate
+# triangles (|det| ~ baby_eps, e.g. the 200k-tri mesh's ~1e-5 dets) then
+# produce false "hits" on tiles the ray geometrically MISSES -- f32
+# artifacts outside the slab interval.  Measured: 10/640k rays diverged
+# between the chunked sweep and the planned path on the 200k mesh, each
+# reporting a different false positive (f64 re-check: the masked result
+# is the geometrically correct one).
+#
+# Slab margins: f32 slab arithmetic carries a few ulps of rounding, so
+# cull-side tests widen their interval before comparing.  The kernel's
+# member test widens by 1x; XLA-side culls that must be SUPERSETS of it
+# (root cull, chunk envelope, tile plan -- computed by a different
+# compiler whose rounding may differ by an ulp) widen by 2x.  Margins
+# only admit extra candidates (speed, never correctness); SLAB_EPS_ABS
+# is ~1e-4 of a ~10-unit scene box.
+SLAB_EPS_REL = 4e-6  # Python floats: Pallas kernels can't capture traced
+SLAB_EPS_ABS = 1e-4  # constants, and f32 ops fold float literals for free
+
+
+def _widen_slab(tlo, thi, k=1):
+    """Widen a slab interval so f32 rounding can never flip a graze into a
+    miss: lower tlo and raise thi by rel+abs margins (conservative for the
+    hit test, and the lowered tlo stays a true lower bound on any hit t the
+    box can produce -- required by the planned/streamed early exit).
+    ``k=2`` for culls that must be supersets of the kernel's k=1 member
+    test across compiler rounding differences (see contract above)."""
+    return (
+        tlo - (k * SLAB_EPS_REL) * jnp.abs(tlo) - (k * SLAB_EPS_ABS),
+        thi + (k * SLAB_EPS_REL) * jnp.abs(thi) + (k * SLAB_EPS_ABS),
+    )
+
+
+def _member_slab(row, o, inv, tlim):
+    """Per-ray candidate test against ONE AABB row ([1, 8]): can this ray
+    itself enter the box before its t_limit?  Returns (member, tlo, thi),
+    each [R, 1], with the widened interval.  This is THE candidate-set
+    definition (see module contract): every kernel uses this helper so the
+    arithmetic is identical across traversals, and accepted hits are
+    confined to [tlo, thi]."""
+    t1 = (row[:, 0:3] - o) * inv
+    t2 = (row[:, 3:6] - o) * inv
+    tlo = jnp.max(jnp.minimum(t1, t2), axis=1, keepdims=True)
+    thi = jnp.min(jnp.maximum(t1, t2), axis=1, keepdims=True)
+    tlo, thi = _widen_slab(tlo, thi)
+    member = (thi >= tlo) & (thi > 0.0) & (tlo < tlim)
+    return member, tlo, thi
+
 
 class MXUMeshTables(NamedTuple):
     """Dense per-triangle feature + attribute tables (pytree of arrays;
@@ -250,6 +310,7 @@ def root_hit_mask(
         jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
         jnp.maximum(t1z, t2z),
     )
+    tlo, thi = _widen_slab(tlo, thi, k=2)
     return (thi >= tlo) & (thi > 0.0) & (tlo < t_limit)
 
 
@@ -479,6 +540,7 @@ def _intersect_kernel(
     rayf = rayf_ref[:]
     d = rayf[:, 0:3]
     o = rayf[:, 6:9]
+    tlim = tlim_ref[:]
     inv = 1.0 / jnp.where(d == 0.0, 1e-20, d)
     lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
     # Inactive rays have all-zero features (feature 9 is the constant 1);
@@ -486,15 +548,27 @@ def _intersect_kernel(
     block_live = jnp.any(rayf[:, 9] > 0.0)
 
     def slab_any(ref, i, best_t):
-        """Does ANY ray in the block enter AABB row i closer than its best?"""
+        """Does ANY ray in the block enter AABB row i closer than its best?
+        (group-level visit cull only -- candidates are defined per ray by
+        ``_member_slab`` at the tile level)"""
         row = ref[pl.ds(i, 1), :]  # [1, 8]
         t1 = (row[:, 0:3] - o) * inv
         t2 = (row[:, 3:6] - o) * inv
         tlo = jnp.max(jnp.minimum(t1, t2), axis=1, keepdims=True)
         thi = jnp.min(jnp.maximum(t1, t2), axis=1, keepdims=True)
-        return jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < best_t))
+        tlo, thi = _widen_slab(tlo, thi)
+        return jnp.any((thi >= tlo) & (thi > 0.0) & (tlo <= best_t))
 
     def tile_body(c, carry):
+        # Per-ray candidate test (the module contract): a ray only accepts
+        # hits from tiles ITS OWN slab test passes, with t inside the
+        # widened interval -- so results never depend on which blockmate
+        # kept a tile alive, and near-degenerate f32 false positives
+        # (t outside the interval) are rejected identically in every
+        # traversal.
+        row = aabb_ref[pl.ds(c, 1), :]
+        member, s_tlo, s_thi = _member_slab(row, o, inv, tlim)
+
         def live(carry):
             best_t, best_tri = carry
             cols = pl.ds(pl.multiple_of(c * (4 * TRI_TILE), 4 * TRI_TILE), 4 * TRI_TILE)
@@ -523,6 +597,9 @@ def _intersect_kernel(
                 & (vs >= 0.0)
                 & (us + vs <= da)
                 & (tt > baby_eps)
+                & member
+                & (tt >= s_tlo)
+                & (tt <= s_thi)
             )
             # Sentinel must compare >= any t_limit (callers pass FLT_MAX).
             # No tt < best_t mask needed: the row-min + `better` comparison
@@ -540,7 +617,11 @@ def _intersect_kernel(
 
         if not USE_TILE_CULL:
             return live(carry)
-        any_hit = slab_any(aabb_ref, c, carry[0])
+        # <= (not <): a candidate with tlo == best could still tie at
+        # t == best, and the tie must resolve by lowest triangle id in
+        # every path -- so tie tiles are visited here exactly as the
+        # planned walk's strict-> early exit visits them.
+        any_hit = jnp.any(member & (s_tlo <= carry[0]))
         return jax.lax.cond(any_hit, live, lambda cr: cr, carry)
 
     def group_body(g, carry):
@@ -619,6 +700,7 @@ def _build_tile_plan(tile_aabb, o, d, one, tl):
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
             jnp.maximum(t1z, t2z),
         )
+        tlo, thi = _widen_slab(tlo, thi, k=2)
         h = (thi >= tlo) & (thi > 0.0) & (tlo < tl[:, None]) & live[:, None]
         tc = rows.shape[0]
         hb = h.reshape(nb, RAY_TILE, tc).any(axis=1)
@@ -634,6 +716,71 @@ def _build_tile_plan(tile_aabb, o, d, one, tl):
     return order.reshape(-1), tlo_sorted.reshape(-1), cnt
 
 
+def _plan_with_prefix(aabb_c, rayf_c, tlim_c):
+    """``_build_tile_plan`` restricted to the live-ray prefix when possible.
+
+    The plan's per-(ray, tile) slab sweep is O(N*Ct) but most bounce rays
+    are dead or root-culled (measured 70-90%), and the coherence sort packs
+    them behind the live rays (dead-ray sentinel keys).  When the LAST live
+    ray sits inside a 1/16 or 1/4 prefix (checked on device -- exact even
+    with a stale persistent sort order, since rays only die), the sweep
+    runs on that prefix only and the trailing blocks get empty plans
+    (cnt=0), which the kernels already skip.  Bit-identical by
+    construction: rays outside the prefix are dead and have no candidates.
+    """
+    ct = aabb_c.shape[0]
+    n_pad_l = rayf_c.shape[0]
+    nb = n_pad_l // RAY_TILE
+
+    def full(_):
+        return _build_tile_plan(
+            aabb_c, rayf_c[:, 6:9], rayf_c[:, 0:3], rayf_c[:, 9],
+            tlim_c[:, 0],
+        )
+
+    if nb < 8:  # tiny ray counts (tests): nothing to prefix
+        return full(None)
+
+    live_pos = jnp.max(
+        jnp.where(
+            rayf_c[:, 9] > 0.0,
+            jax.lax.iota(jnp.int32, n_pad_l),
+            -1,
+        )
+    )
+
+    def at(npre):
+        nbp = npre // RAY_TILE
+
+        def f(_):
+            ids, tlo, cnt = _build_tile_plan(
+                aabb_c, rayf_c[:npre, 6:9], rayf_c[:npre, 0:3],
+                rayf_c[:npre, 9], tlim_c[:npre, 0],
+            )
+            ids = jnp.concatenate(
+                [ids.reshape(nbp, ct), jnp.zeros((nb - nbp, ct), jnp.int32)]
+            ).reshape(-1)
+            tlo = jnp.concatenate(
+                [tlo.reshape(nbp, ct),
+                 jnp.full((nb - nbp, ct), jnp.inf, jnp.float32)]
+            ).reshape(-1)
+            cnt = jnp.concatenate([cnt, jnp.zeros((nb - nbp,), jnp.int32)])
+            return ids, tlo, cnt
+
+        return f
+
+    p4 = (nb // 4) * RAY_TILE
+    p16 = (nb // 16) * RAY_TILE
+    out = full
+    if 0 < p4 < n_pad_l:
+        lvl4, prev4 = at(p4), out
+        out = lambda _: jax.lax.cond(live_pos < p4, lvl4, prev4, None)
+    if 0 < p16 < p4:
+        lvl16, prev16 = at(p16), out
+        out = lambda _: jax.lax.cond(live_pos < p16, lvl16, prev16, None)
+    return out(None)
+
+
 def _planned_kernel(
     baby_eps: float,
     ct: int,
@@ -645,6 +792,7 @@ def _planned_kernel(
     rayf_ref,  # [RAY_TILE, NUM_F]
     tlim_ref,  # [RAY_TILE, 1]
     feat_ref,  # [NUM_F, 4*Tp] full chunk table in VMEM
+    aabb_ref,  # [Ct, 8] tile bounds (per-ray member test)
     out_t_ref,
     out_tri_ref,
 ):
@@ -652,11 +800,15 @@ def _planned_kernel(
     front-to-back, maintain the running closest hit, and stop as soon as
     the next tile's entry distance can't beat ANY ray's best (tlo ascending
     + conservative bound => exact).  Winner selection is visit-order
-    independent: strict improvement wins, exact ties resolve to the lowest
+    independent: per-ray candidate membership (``_member_slab``, module
+    contract), strict improvement wins, exact ties resolve to the lowest
     triangle id (the sweep kernel's ascending order implies the same), so
     results are bit-identical to ``_intersect_kernel``."""
     b = pl.program_id(0)
     rayf = rayf_ref[:]
+    o = rayf[:, 6:9]
+    dvec = rayf[:, 0:3]
+    inv = 1.0 / jnp.where(dvec == 0.0, 1e-20, dvec)
     lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
     cnt = cnt_ref[b]
     init_t = tlim_ref[:]
@@ -684,6 +836,8 @@ def _planned_kernel(
         def run(args):
             best_t, best_tri = args
             tile_id = ids_ref[b * ct + t]
+            row = aabb_ref[pl.ds(tile_id, 1), :]
+            member, s_tlo, s_thi = _member_slab(row, o, inv, tlim_ref[:])
             cols = pl.ds(
                 pl.multiple_of(tile_id * (4 * TRI_TILE), 4 * TRI_TILE),
                 4 * TRI_TILE,
@@ -708,6 +862,9 @@ def _planned_kernel(
                 & (vs >= 0.0)
                 & (us + vs <= da)
                 & (tt > baby_eps)
+                & member
+                & (tt >= s_tlo)
+                & (tt <= s_thi)
             )
             ttm = jnp.where(hit, tt, jnp.inf)
             row_min = jnp.min(ttm, axis=1, keepdims=True)
@@ -733,12 +890,159 @@ def _planned_kernel(
     out_tri_ref[:] = best_tri
 
 
+def _streamed_kernel(
+    baby_eps: float,
+    ct: int,
+    # scalar prefetch (SMEM)
+    cnt_ref,  # [NB] i32 candidate count per block
+    # tensor refs
+    rayf_ref,  # [RAY_TILE, NUM_F] VMEM
+    tlim_ref,  # [RAY_TILE, 1] VMEM
+    aabb_ref,  # [Ct, 8] VMEM tile bounds (per-ray member test)
+    feat_hbm,  # [NUM_F, 4*Tp] HBM (ANY): full feature table, streamed
+    ids_hbm,  # [NB, 8, 128] i32 HBM: per-block tile ids, front-to-back
+    tlo_hbm,  # [NB, 8, 128] f32 HBM: block-min entry distance, ascending
+    out_t_ref,
+    out_tri_ref,
+    # scratch
+    buf,  # VMEM (2, NUM_F, 4*TRI_TILE) double-buffered feature tiles
+    ids_s,  # SMEM (8, 128) i32  (plan capacity 1024 tiles)
+    tlo_s,  # SMEM (8, 128) f32
+    feat_sem,  # DMA (2,)
+    plan_sem,  # DMA (2,)
+):
+    """Single-call ordered traversal for ANY mesh size: candidate tiles'
+    feature columns are DMA'd HBM->VMEM on demand (double-buffered, so the
+    next tile's transfer overlaps the current tile's matmul+epilogue), and
+    the early exit is GLOBAL front-to-back over all tiles -- unlike the
+    chunked multi-call chain, whose fixed leaf-order chunking visits near
+    tiles of far chunks before the running best can prune them, and which
+    pays per-call dispatch + plan overhead per 32k triangles.
+
+    Only visited tiles transfer (a skipped block moves zero feature bytes),
+    so HBM traffic scales with the plan, not the mesh.  Results are
+    bit-identical to the sweep kernel (same candidate arithmetic, same
+    strict-improvement/lowest-id winner rule, same conservative bound)."""
+    b = pl.program_id(0)
+    rayf = rayf_ref[:]
+    o = rayf[:, 6:9]
+    dvec = rayf[:, 0:3]
+    inv = 1.0 / jnp.where(dvec == 0.0, 1e-20, dvec)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
+    cnt = cnt_ref[b]
+    init_t = tlim_ref[:]
+    init_tri = jnp.full((RAY_TILE, 1), -1, jnp.int32)
+    live_col = rayf[:, 9:10] > 0.0
+
+    def live_max(best_t):
+        return jnp.max(jnp.where(live_col, best_t, 0.0))
+
+    @pl.when(cnt > 0)
+    def _():
+        # Fetch this block's plan row into SMEM (scalar-readable).
+        ids_dma = pltpu.make_async_copy(ids_hbm.at[b], ids_s, plan_sem.at[0])
+        tlo_dma = pltpu.make_async_copy(tlo_hbm.at[b], tlo_s, plan_sem.at[1])
+        ids_dma.start()
+        tlo_dma.start()
+        ids_dma.wait()
+        tlo_dma.wait()
+
+        def feat_dma(slot, t):
+            tile_id = ids_s[t // 128, t % 128]
+            cols = pl.ds(
+                pl.multiple_of(tile_id * (4 * TRI_TILE), 4 * TRI_TILE),
+                4 * TRI_TILE,
+            )
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, cols], buf.at[slot], feat_sem.at[slot]
+            )
+
+        feat_dma(0, 0).start()
+
+        def cond(carry):
+            t, _, _, _, done = carry
+            return (t < cnt) & jnp.logical_not(done)
+
+        def body(carry):
+            t, best_t, best_tri, mb, _ = carry
+            # STRICT >: see _planned_kernel -- no better hits and no exact
+            # ties past this point.  The DMA for tile t is in flight either
+            # way and must be drained to keep semaphores balanced.
+            stop = tlo_s[t // 128, t % 128] > mb
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(jnp.logical_not(stop) & (t + 1 < cnt))
+            def _():
+                feat_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+            feat_dma(slot, t).wait()
+
+            def run(args):
+                best_t, best_tri = args
+                tile_id = ids_s[t // 128, t % 128]
+                row = aabb_ref[pl.ds(tile_id, 1), :]
+                member, s_tlo, s_thi = _member_slab(row, o, inv, tlim_ref[:])
+                quad = jnp.dot(
+                    rayf, buf[slot], preferred_element_type=jnp.float32
+                )
+                det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+                u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+                v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+                t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+                det_ok = jnp.abs(det) >= baby_eps
+                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                tt = t_num * inv_det
+                s = jnp.where(det < 0.0, -1.0, 1.0)
+                us = u_num * s
+                vs = v_num * s
+                da = det * s
+                hit = (
+                    det_ok
+                    & (us >= 0.0)
+                    & (vs >= 0.0)
+                    & (us + vs <= da)
+                    & (tt > baby_eps)
+                    & member
+                    & (tt >= s_tlo)
+                    & (tt <= s_thi)
+                )
+                ttm = jnp.where(hit, tt, jnp.inf)
+                row_min = jnp.min(ttm, axis=1, keepdims=True)
+                lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
+                kbest = jnp.min(lane_masked, axis=1, keepdims=True)
+                cand = tile_id * TRI_TILE + kbest
+                better = row_min < best_t
+                tie = row_min == best_t
+                new_tri = jnp.where(
+                    better,
+                    cand,
+                    jnp.where(tie, jnp.minimum(best_tri, cand), best_tri),
+                )
+                return jnp.where(better, row_min, best_t), new_tri
+
+            best_t, best_tri = jax.lax.cond(
+                stop, lambda a: a, run, (best_t, best_tri)
+            )
+            return t + 1, best_t, best_tri, live_max(best_t), stop
+
+        _, best_t, best_tri, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init_t, init_tri, live_max(init_t), False)
+        )
+        out_t_ref[:] = best_t
+        out_tri_ref[:] = best_tri
+
+    @pl.when(cnt <= 0)
+    def _():
+        out_t_ref[:] = init_t
+        out_tri_ref[:] = init_tri
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
-        "sort_mode",
+        "sort_mode", "streamed",
     ),
 )
 def _run(
@@ -758,6 +1062,7 @@ def _run(
     interpret: bool = False,
     planned: bool = False,
     sort_mode: str = "morton",
+    streamed: bool = False,
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -834,9 +1139,7 @@ def _run(
         kernel walks them with an early exit -- the BVH's ordered descent
         at (256-ray block x TRI_TILE tile) granularity."""
         ct = aabb_c.shape[0]
-        ids, tlo_s, cnt = _build_tile_plan(
-            aabb_c, rayf_c[:, 6:9], rayf_c[:, 0:3], rayf_c[:, 9], tlim_c[:, 0]
-        )
+        ids, tlo_s, cnt = _plan_with_prefix(aabb_c, rayf_c, tlim_c)
         kern = functools.partial(_planned_kernel, baby_eps, ct)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -845,6 +1148,7 @@ def _run(
                 pl.BlockSpec((RAY_TILE, NUM_F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(feat_c.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(aabb_c.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -859,7 +1163,59 @@ def _run(
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             ),
             interpret=interpret,
-        )(ids, tlo_s, cnt, rayf_c, tlim_c, feat_c)
+        )(ids, tlo_s, cnt, rayf_c, tlim_c, feat_c, aabb_c)
+
+    def run_streamed(rayf_c, feat_c, aabb_c, tlim_c):
+        """One pallas_call for any mesh size: plan rows live in HBM (DMA'd
+        per block into SMEM), candidate feature tiles stream HBM->VMEM
+        double-buffered, early exit is global front-to-back."""
+        ctf = aabb_c.shape[0]
+        nb = n_pad // RAY_TILE
+        ids, tlo_s, cnt = _plan_with_prefix(aabb_c, rayf_c, tlim_c)
+        # Fixed [NB, 8, 128] plan layout: the per-block DMA slice is then a
+        # whole (8, 128) tile -- any other shape trips Mosaic's sublane/lane
+        # alignment rules.  Capacity 1024 tiles = 1M triangles (guarded in
+        # the caller); the walk only reads t < cnt <= ct.
+        cap = 8 * 128
+        ids2 = jnp.pad(ids.reshape(nb, ctf), ((0, 0), (0, cap - ctf)))
+        ids2 = ids2.reshape(nb, 8, 128)
+        tlo2 = jnp.pad(
+            tlo_s.reshape(nb, ctf), ((0, 0), (0, cap - ctf)),
+            constant_values=jnp.inf,
+        ).reshape(nb, 8, 128)
+        kern = functools.partial(_streamed_kernel, baby_eps, ctf)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((RAY_TILE, NUM_F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(aabb_c.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # features (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # plan ids (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # plan tlo (HBM)
+            ],
+            out_specs=(
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, NUM_F, 4 * TRI_TILE), jnp.float32),
+                pltpu.SMEM((8, 128), jnp.int32),
+                pltpu.SMEM((8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(cnt, rayf_c, tlim_c, aabb_c, feat_c, ids2, tlo2)
 
     def run_chunk(rayf_c, feat_c, aabb_c, gaabb_c, tlim_c):
         """One pallas_call over a VMEM-resident feature chunk."""
@@ -894,8 +1250,13 @@ def _run(
     ct_per_call = min(padded_tris, chunk_tris) // TRI_TILE
     if planned and nb_blocks * max(1, ct_per_call) * 8 > 700_000:
         planned = False
+    if streamed and padded_tris // TRI_TILE > 8 * 128:
+        # plan capacity is 1024 tiles (~1M tris); beyond it, chunked chain
+        streamed, planned = False, True
 
-    if padded_tris <= chunk_tris:
+    if streamed:
+        out_t, out_tri = run_streamed(rayf, features, tile_aabb, tlim)
+    elif padded_tris <= chunk_tris:
         if planned:
             out_t, out_tri = run_chunk_planned(rayf, features, tile_aabb, tlim)
         else:
@@ -938,6 +1299,7 @@ def _run(
                 jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
                 jnp.maximum(t1z, t2z),
             )
+            ctlo, cthi = _widen_slab(ctlo, cthi, k=2)
             if planned:
                 # The plan prepass embodies the chunk cull (per-block tile
                 # candidates against the running best t).
@@ -964,6 +1326,25 @@ def _run(
     return out_t[:n, 0], tri
 
 
+def traversal_flags(mode: str, padded_tris: int) -> dict:
+    """Resolve ``RenderConfig.mxu_traversal`` to kernel flags.
+
+    "auto": planned for VMEM-resident meshes (<= CHUNK_TRIS; the feature
+    table lives in VMEM so streaming buys nothing), streamed beyond
+    (measured faster than the chunked planned chain -- 67 vs 72 ms at 80k,
+    154 vs 163 ms at 200k on v5e -- because ONE call walks a GLOBAL
+    front-to-back plan instead of per-chunk plans in fixed leaf order).
+    Explicit "streamed" keeps planned=True as its >1024-tile capacity
+    fallback."""
+    if mode == "sweep":
+        return dict(planned=False, streamed=False)
+    if mode == "planned":
+        return dict(planned=True, streamed=False)
+    if mode == "streamed":
+        return dict(planned=True, streamed=True)
+    return dict(planned=True, streamed=padded_tris > CHUNK_TRIS)
+
+
 def mesh_intersect_mxu(
     tables: MXUMeshTables,
     num_tris: int,
@@ -981,6 +1362,7 @@ def mesh_intersect_mxu(
     compute_uv: bool = True,
     planned: bool = False,
     sort_mode: str = "morton",
+    streamed: bool = False,
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -1003,6 +1385,7 @@ def mesh_intersect_mxu(
         interpret=interpret,
         planned=planned,
         sort_mode=sort_mode,
+        streamed=streamed,
     )
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)

@@ -318,3 +318,36 @@ def test_mxu_planned_matches_sweep_bitexact():
     t1, tri1 = m._run(*args, planned=True, chunk_tris=m.GROUP_TRIS, **kw2)
     np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri1))
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_mxu_streamed_matches_sweep_bitexact():
+    """The streamed traversal (HBM-resident features DMA'd per candidate
+    tile, global front-to-back early exit) must be bit-identical to the
+    sweep kernel -- the per-ray candidate contract (module docstring of
+    ops/intersect_mxu.py) makes this structural: membership and accepted-t
+    confinement are ray-local, so block/chunk/visit-order differences
+    cannot change any ray's winner.  Covers sorted + finite t_limits."""
+    rng = np.random.default_rng(47)
+    scene = _random_mesh_scene(rng, n_tris=300)
+    dev, static = build_device_scene(scene)
+
+    n = 700
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.3)
+    lim = jnp.asarray(
+        np.where(rng.random(n) > 0.5, 3.4e38, 2.0), jnp.float32
+    )
+
+    kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds)
+    for sort in (False, True):
+        sweep = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=False, **kw,
+        )
+        strm = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, streamed=True, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(strm.tri), np.asarray(sweep.tri))
+        np.testing.assert_array_equal(np.asarray(strm.t), np.asarray(sweep.t))
