@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="disable stream compaction (wavefront, ref STREAM_COMPACTION=0)",
     )
     p.add_argument(
+        "--compaction",
+        choices=("on", "off", "adaptive"),
+        default=None,
+        help="wavefront compaction policy (adaptive = pack only once the "
+        "live fraction drops below 1/2; image-identical, see RenderConfig)",
+    )
+    p.add_argument(
         "--material-sort",
         action="store_true",
         help="enable material sorting (ref MATERIAL_SORTING=1)",
@@ -123,9 +130,14 @@ def main(argv=None) -> int:
     if args.depth is not None:
         scene.state.trace_depth = args.depth
 
+    compaction = (
+        {"on": True, "off": False, "adaptive": "adaptive"}[args.compaction]
+        if args.compaction is not None
+        else not args.no_compaction
+    )
     cfg = RenderConfig(
         integrator=args.integrator,
-        stream_compaction=not args.no_compaction,
+        stream_compaction=compaction,
         material_sorting=args.material_sort,
         bvh_acceleration=not args.no_bvh,
         mirror_output=not args.no_mirror,

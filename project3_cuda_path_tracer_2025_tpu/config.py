@@ -31,7 +31,16 @@ class RenderConfig:
     """
 
     # Feature toggles (A/B parity with src/pathtrace.cu:21-24)
-    stream_compaction: bool = True
+    # True = front-pack every bounce (the reference's STREAM_COMPACTION);
+    # "adaptive" = front-pack only once the live fraction drops below 1/2,
+    # decided per bounce ON DEVICE (lax.cond on the live count).  Images
+    # are identical either way -- compaction is a pure permutation and RNG
+    # is pixel-keyed -- but on TPU every stage is static-shape, so packing
+    # mostly-live bounces costs a permutation (measured 7.3 of the 9.4
+    # ms/bounce on cornell) and buys nothing; the reference's SIMT GPU, by
+    # contrast, profits from fewer threads.  Wavefront profiling:
+    # scripts/profile_wavefront.py.
+    stream_compaction: "bool | str" = True
     material_sorting: bool = False
     bvh_acceleration: bool = True
 

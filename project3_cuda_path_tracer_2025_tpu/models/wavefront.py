@@ -81,7 +81,18 @@ def wavefront_iteration(
         )
         paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
 
-        if cfg.stream_compaction:
+        if cfg.stream_compaction == "adaptive":
+            # Pack only when mostly dead: the permutation is pure overhead
+            # on mostly-live bounces (static shapes; see RenderConfig).
+            # Image-identical to always/never packing (pixel-keyed RNG).
+            live = jnp.sum(paths.alive.astype(jnp.int32))
+            paths = jax.lax.cond(
+                2 * live < n,
+                lambda p: compact_paths(p)[0],
+                lambda p: p,
+                paths,
+            )
+        elif cfg.stream_compaction:
             paths, live = compact_paths(paths)
         else:
             live = jnp.sum(paths.alive.astype(jnp.int32))

@@ -568,6 +568,14 @@ def _intersect_kernel(
         # traversal.
         row = aabb_ref[pl.ds(c, 1), :]
         member, s_tlo, s_thi = _member_slab(row, o, inv, tlim)
+        # Fused per-ray candidate bounds: tt > baby_eps AND tt >= tlo AND
+        # member collapse into ONE lower bound per ray (tt > e  <=>
+        # tt >= nextafter(e) for f32 tt), and non-member rays get an empty
+        # [inf, -inf] interval -- the contract's masking at the cost of a
+        # single extra compare+and on the wide epilogue.
+        eps_succ = float(np.nextafter(np.float32(baby_eps), np.float32(np.inf)))
+        t_lo = jnp.where(member, jnp.maximum(s_tlo, eps_succ), jnp.inf)
+        t_hi = jnp.where(member, s_thi, -jnp.inf)
 
         def live(carry):
             best_t, best_tri = carry
@@ -596,10 +604,8 @@ def _intersect_kernel(
                 & (us >= 0.0)
                 & (vs >= 0.0)
                 & (us + vs <= da)
-                & (tt > baby_eps)
-                & member
-                & (tt >= s_tlo)
-                & (tt <= s_thi)
+                & (tt >= t_lo)
+                & (tt <= t_hi)
             )
             # Sentinel must compare >= any t_limit (callers pass FLT_MAX).
             # No tt < best_t mask needed: the row-min + `better` comparison
@@ -838,6 +844,11 @@ def _planned_kernel(
             tile_id = ids_ref[b * ct + t]
             row = aabb_ref[pl.ds(tile_id, 1), :]
             member, s_tlo, s_thi = _member_slab(row, o, inv, tlim_ref[:])
+            eps_succ = float(
+                np.nextafter(np.float32(baby_eps), np.float32(np.inf))
+            )
+            t_lo = jnp.where(member, jnp.maximum(s_tlo, eps_succ), jnp.inf)
+            t_hi = jnp.where(member, s_thi, -jnp.inf)
             cols = pl.ds(
                 pl.multiple_of(tile_id * (4 * TRI_TILE), 4 * TRI_TILE),
                 4 * TRI_TILE,
@@ -861,10 +872,8 @@ def _planned_kernel(
                 & (us >= 0.0)
                 & (vs >= 0.0)
                 & (us + vs <= da)
-                & (tt > baby_eps)
-                & member
-                & (tt >= s_tlo)
-                & (tt <= s_thi)
+                & (tt >= t_lo)
+                & (tt <= t_hi)
             )
             ttm = jnp.where(hit, tt, jnp.inf)
             row_min = jnp.min(ttm, axis=1, keepdims=True)
@@ -982,6 +991,13 @@ def _streamed_kernel(
                 tile_id = ids_s[t // 128, t % 128]
                 row = aabb_ref[pl.ds(tile_id, 1), :]
                 member, s_tlo, s_thi = _member_slab(row, o, inv, tlim_ref[:])
+                eps_succ = float(
+                    np.nextafter(np.float32(baby_eps), np.float32(np.inf))
+                )
+                t_lo = jnp.where(
+                    member, jnp.maximum(s_tlo, eps_succ), jnp.inf
+                )
+                t_hi = jnp.where(member, s_thi, -jnp.inf)
                 quad = jnp.dot(
                     rayf, buf[slot], preferred_element_type=jnp.float32
                 )
@@ -1001,10 +1017,8 @@ def _streamed_kernel(
                     & (us >= 0.0)
                     & (vs >= 0.0)
                     & (us + vs <= da)
-                    & (tt > baby_eps)
-                    & member
-                    & (tt >= s_tlo)
-                    & (tt <= s_thi)
+                    & (tt >= t_lo)
+                    & (tt <= t_hi)
                 )
                 ttm = jnp.where(hit, tt, jnp.inf)
                 row_min = jnp.min(ttm, axis=1, keepdims=True)

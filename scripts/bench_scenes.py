@@ -97,6 +97,10 @@ def main():
             ("/root/reference/scenes/cornell.json", {"integrator": "wavefront"}),
             (
                 "/root/reference/scenes/cornell.json",
+                {"integrator": "wavefront", "stream_compaction": "adaptive"},
+            ),
+            (
+                "/root/reference/scenes/cornell.json",
                 {"integrator": "wavefront", "material_sorting": True},
             ),
             ("scenes/cornell_mesh_5k.json", {"bvh_acceleration": False}),

@@ -47,7 +47,7 @@ def test_megakernel_renders_sane(cornell_small):
 
 def test_wavefront_matches_megakernel_bitexact(cornell_small):
     base = _film(cornell_small, RenderConfig(integrator="megakernel"))
-    for sc, ms in ((True, True), (False, False)):
+    for sc, ms in ((True, True), (False, False), ("adaptive", False)):
         wf = _film(
             cornell_small,
             RenderConfig(
