@@ -849,45 +849,69 @@ def _planned_kernel(
             )
             t_lo = jnp.where(member, jnp.maximum(s_tlo, eps_succ), jnp.inf)
             t_hi = jnp.where(member, s_thi, -jnp.inf)
-            cols = pl.ds(
-                pl.multiple_of(tile_id * (4 * TRI_TILE), 4 * TRI_TILE),
-                4 * TRI_TILE,
+            # Per-visit improvability gate: the plan's early exit only
+            # bounds the FRONT of the walk (tlo ascending vs the block
+            # max); mid-walk, a tile can be skippable for every ray (its
+            # members already hold closer hits).  <=: exact ties must be
+            # evaluated (lowest-id rule).  Skipping is exact: a member's
+            # candidate t is >= its own widened tlo.
+            improvable = jnp.any(member & (s_tlo <= best_t))
+
+            def quad_epilogue(args):
+                best_t, best_tri = args
+                cols = pl.ds(
+                    pl.multiple_of(tile_id * (4 * TRI_TILE), 4 * TRI_TILE),
+                    4 * TRI_TILE,
+                )
+                quad = jnp.dot(
+                    rayf, feat_ref[:, cols], preferred_element_type=jnp.float32
+                )
+                det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+                u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+                v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+                t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+                det_ok = jnp.abs(det) >= baby_eps
+                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                tt = t_num * inv_det
+                s = jnp.where(det < 0.0, -1.0, 1.0)
+                us = u_num * s
+                vs = v_num * s
+                da = det * s
+                hit = (
+                    det_ok
+                    & (us >= 0.0)
+                    & (vs >= 0.0)
+                    & (us + vs <= da)
+                    & (tt >= t_lo)
+                    & (tt <= t_hi)
+                )
+                ttm = jnp.where(hit, tt, jnp.inf)
+                row_min = jnp.min(ttm, axis=1, keepdims=True)
+                better = row_min < best_t
+                tie = row_min == best_t
+
+                def update(args):
+                    best_t, best_tri = args
+                    lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
+                    kbest = jnp.min(lane_masked, axis=1, keepdims=True)
+                    cand = tile_id * TRI_TILE + kbest
+                    new_tri = jnp.where(
+                        better,
+                        cand,
+                        jnp.where(tie, jnp.minimum(best_tri, cand), best_tri),
+                    )
+                    return jnp.where(better, row_min, best_t), new_tri
+
+                # argmin bookkeeping (2 more full-width passes) only when
+                # some ray actually improved or tied
+                return jax.lax.cond(
+                    jnp.any(better | (tie & (row_min < jnp.inf))),
+                    update, lambda a: a, (best_t, best_tri),
+                )
+
+            return jax.lax.cond(
+                improvable, quad_epilogue, lambda a: a, (best_t, best_tri)
             )
-            quad = jnp.dot(
-                rayf, feat_ref[:, cols], preferred_element_type=jnp.float32
-            )
-            det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
-            u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
-            v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
-            t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-            det_ok = jnp.abs(det) >= baby_eps
-            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-            tt = t_num * inv_det
-            s = jnp.where(det < 0.0, -1.0, 1.0)
-            us = u_num * s
-            vs = v_num * s
-            da = det * s
-            hit = (
-                det_ok
-                & (us >= 0.0)
-                & (vs >= 0.0)
-                & (us + vs <= da)
-                & (tt >= t_lo)
-                & (tt <= t_hi)
-            )
-            ttm = jnp.where(hit, tt, jnp.inf)
-            row_min = jnp.min(ttm, axis=1, keepdims=True)
-            lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
-            kbest = jnp.min(lane_masked, axis=1, keepdims=True)
-            cand = tile_id * TRI_TILE + kbest
-            better = row_min < best_t
-            tie = row_min == best_t
-            new_tri = jnp.where(
-                better,
-                cand,
-                jnp.where(tie, jnp.minimum(best_tri, cand), best_tri),
-            )
-            return jnp.where(better, row_min, best_t), new_tri
 
         best_t, best_tri = jax.lax.cond(stop, lambda a: a, run, (best_t, best_tri))
         return t + 1, best_t, best_tri, live_max(best_t), stop
@@ -998,41 +1022,62 @@ def _streamed_kernel(
                     member, jnp.maximum(s_tlo, eps_succ), jnp.inf
                 )
                 t_hi = jnp.where(member, s_thi, -jnp.inf)
-                quad = jnp.dot(
-                    rayf, buf[slot], preferred_element_type=jnp.float32
+                # Mid-walk improvability gate (see _planned_kernel); the
+                # tile's DMA is already drained either way.
+                improvable = jnp.any(member & (s_tlo <= best_t))
+
+                def quad_epilogue(args):
+                    best_t, best_tri = args
+                    quad = jnp.dot(
+                        rayf, buf[slot], preferred_element_type=jnp.float32
+                    )
+                    det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+                    u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+                    v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+                    t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+                    det_ok = jnp.abs(det) >= baby_eps
+                    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                    tt = t_num * inv_det
+                    s = jnp.where(det < 0.0, -1.0, 1.0)
+                    us = u_num * s
+                    vs = v_num * s
+                    da = det * s
+                    hit = (
+                        det_ok
+                        & (us >= 0.0)
+                        & (vs >= 0.0)
+                        & (us + vs <= da)
+                        & (tt >= t_lo)
+                        & (tt <= t_hi)
+                    )
+                    ttm = jnp.where(hit, tt, jnp.inf)
+                    row_min = jnp.min(ttm, axis=1, keepdims=True)
+                    better = row_min < best_t
+                    tie = row_min == best_t
+
+                    def update(args):
+                        best_t, best_tri = args
+                        lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
+                        kbest = jnp.min(lane_masked, axis=1, keepdims=True)
+                        cand = tile_id * TRI_TILE + kbest
+                        new_tri = jnp.where(
+                            better,
+                            cand,
+                            jnp.where(
+                                tie, jnp.minimum(best_tri, cand), best_tri
+                            ),
+                        )
+                        return jnp.where(better, row_min, best_t), new_tri
+
+                    return jax.lax.cond(
+                        jnp.any(better | (tie & (row_min < jnp.inf))),
+                        update, lambda a: a, (best_t, best_tri),
+                    )
+
+                return jax.lax.cond(
+                    improvable, quad_epilogue, lambda a: a,
+                    (best_t, best_tri),
                 )
-                det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
-                u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
-                v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
-                t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-                det_ok = jnp.abs(det) >= baby_eps
-                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-                tt = t_num * inv_det
-                s = jnp.where(det < 0.0, -1.0, 1.0)
-                us = u_num * s
-                vs = v_num * s
-                da = det * s
-                hit = (
-                    det_ok
-                    & (us >= 0.0)
-                    & (vs >= 0.0)
-                    & (us + vs <= da)
-                    & (tt >= t_lo)
-                    & (tt <= t_hi)
-                )
-                ttm = jnp.where(hit, tt, jnp.inf)
-                row_min = jnp.min(ttm, axis=1, keepdims=True)
-                lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
-                kbest = jnp.min(lane_masked, axis=1, keepdims=True)
-                cand = tile_id * TRI_TILE + kbest
-                better = row_min < best_t
-                tie = row_min == best_t
-                new_tri = jnp.where(
-                    better,
-                    cand,
-                    jnp.where(tie, jnp.minimum(best_tri, cand), best_tri),
-                )
-                return jnp.where(better, row_min, best_t), new_tri
 
             best_t, best_tri = jax.lax.cond(
                 stop, lambda a: a, run, (best_t, best_tri)
