@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-bounce ray-coherence sorting for the MXU intersector",
     )
     p.add_argument(
+        "--mxu-traversal",
+        choices=("auto", "sweep", "planned", "streamed", "binned"),
+        default="auto",
+        help="MXU intersector traversal (bit-identical results; see config)",
+    )
+    p.add_argument(
         "--spp-per-launch", type=int, default=1,
         help="samples traced per device dispatch (amortizes tunnel latency)",
     )
@@ -144,6 +150,7 @@ def main(argv=None) -> int:
         spherical_camera_reconstruction=not args.raw_camera,
         mesh_intersector=args.mesh_intersector,
         ray_sorting=args.ray_sorting,
+        mxu_traversal=args.mxu_traversal,
         spp_per_launch=args.spp_per_launch,
         devices=args.devices,
         parallel_mode=args.parallel_mode,

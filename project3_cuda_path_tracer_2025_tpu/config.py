@@ -118,7 +118,12 @@ class RenderConfig:
     # exit -- the BVH's ordered descent at block x tile granularity;
     # "streamed" is one pallas_call for ANY mesh size (plan rows DMA'd
     # HBM->SMEM per block, candidate feature tiles DMA'd HBM->VMEM double-
-    # buffered, GLOBAL front-to-back early exit).  Bit-identical results
+    # buffered, GLOBAL front-to-back early exit); "binned" regroups the
+    # sorted live prefix into 8-ray packets and bins (packet, tile)
+    # candidate pairs tile-major, so kernel work scales with packet
+    # candidate sums instead of 256-ray block unions (mid-bounce
+    # populations on heavy meshes; falls back to streamed when live rays
+    # exceed the prefix or bins overflow).  Bit-identical results
     # (tested; per-ray candidate contract in ops/intersect_mxu.py); "auto"
     # picks planned for VMEM-resident meshes, streamed beyond CHUNK_TRIS.
     mxu_traversal: str = "auto"

@@ -1096,12 +1096,311 @@ def _streamed_kernel(
         out_tri_ref[:] = init_tri
 
 
+# --- binned (tile-major, ray-packet) traversal ---------------------------
+#
+# The block-union wall, quantified (PARITY.md "ray-binning"): a 256-ray
+# block visits the UNION of its rays' candidate tiles -- 16.3x the per-ray
+# candidate floor at 200k tris, and even the unreachable ideal grouping
+# sits 9.7x above it.  Binning at PER-RAY granularity reaches the floor
+# but its construction (pair sort + per-pair feature gather + scatter-min
+# reduce) costs more than it saves (measured round 3).  The compromise
+# measured to work: bin 8-ray PACKETS (G = 8).  Packet unions run ~3x the
+# per-ray floor (vs 16x for blocks, measured on captured populations), and
+# packet granularity divides every construction cost by G: the candidate
+# matrix, the rank matmul, the destination scatter, and the gather-back
+# reduce all operate on n/8 rows.
+#
+# Pipeline (all XLA except the pallas kernel):
+#   1. per-ray k=2 slab sweep -> packet-reduce: H_g [n_g, Ct], a SUPERSET
+#      of every packet member's candidate set (contract: supersets are
+#      speed, never correctness).
+#   2. rank packets within each tile column (block-triangular matmul) and
+#      lay tiles out as GP-padded bins; scatter each packet's id to its
+#      (tile, rank) slot.
+#   3. gather packet records ([G*NUM_F] per packet) into bin order; the
+#      kernel sees 256-row visits (GP = 32 packets) that are
+#      tile-HOMOGENEOUS: one DMA'd feature tile per visit, every row's own
+#      k=1 member test, the shared quad epilogue, NO cross-visit state.
+#   4. reduce per ray across its packet's visits: scatter-min by packet id
+#      (t, then lowest-tri among ties) -- the contract's winner rule.
+#
+# No front-to-back early exit exists in this mode (a ray's candidates are
+# evaluated unconditionally); the pair population is the per-packet
+# candidate sum, which IS the quantity the other kernels cannot reach.
+BINNED_G = int(os.environ.get("PTT_BINNED_G", "8"))  # rays per packet
+BINNED_PAIR_MEAN = int(os.environ.get("PTT_BINNED_PAIR_MEAN", "14"))
+_INT_BIG = np.int32(2**31 - 1)
+
+
+def _binned_kernel(
+    baby_eps: float,
+    nv: int,
+    # scalar prefetch (SMEM)
+    vt_ref,  # [NV] i32 tile id per visit (-1 = empty slot region)
+    # tensor refs
+    pairf_ref,  # [256, NUM_F] VMEM: packet-record rows in bin order
+    ptlim_ref,  # [256, 1] VMEM
+    aabb_ref,  # [Ct, 8] VMEM tile bounds
+    feat_hbm,  # [NUM_F, 4*Tp] HBM (ANY)
+    out_t_ref,  # [256, 1]
+    out_tri_ref,  # [256, 1] i32
+    # scratch (persists across grid steps: double-buffered feature tiles)
+    buf,  # VMEM (2, NUM_F, 4*TRI_TILE)
+    feat_sem,  # DMA (2,)
+):
+    """One tile-homogeneous visit: 256 pair rows against ONE feature tile.
+
+    Stateless across visits (the reduce happens in XLA), so the grid is
+    embarrassingly parallel; consecutive visits double-buffer their
+    feature-tile DMAs through persistent scratch."""
+    v = pl.program_id(0)
+    tile = vt_ref[v]
+
+    def feat_dma(slot, t_id):
+        cols = pl.ds(
+            pl.multiple_of(t_id * (4 * TRI_TILE), 4 * TRI_TILE),
+            4 * TRI_TILE,
+        )
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, cols], buf.at[slot], feat_sem.at[slot]
+        )
+
+    # Double buffer across grid steps: visit v's DMA was started by visit
+    # v-1 (v=0 starts its own); start v+1's transfer before waiting.
+    @pl.when((v == 0) & (tile >= 0))
+    def _():
+        feat_dma(0, tile).start()
+
+    @pl.when(v + 1 < nv)
+    def _():
+        nxt = vt_ref[v + 1]
+
+        @pl.when(nxt >= 0)
+        def _():
+            feat_dma((v + 1) % 2, nxt).start()
+
+    @pl.when(tile >= 0)
+    def _():
+        slot = jax.lax.rem(v, 2)
+        feat_dma(slot, tile).wait()
+        pairf = pairf_ref[:]
+        o = pairf[:, 6:9]
+        d = pairf[:, 0:3]
+        inv = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+        tlim = ptlim_ref[:]
+        row = aabb_ref[pl.ds(tile, 1), :]
+        member, s_tlo, s_thi = _member_slab(row, o, inv, tlim)
+        eps_succ = float(
+            np.nextafter(np.float32(baby_eps), np.float32(np.inf))
+        )
+        t_lo = jnp.where(member, jnp.maximum(s_tlo, eps_succ), jnp.inf)
+        t_hi = jnp.where(member, s_thi, -jnp.inf)
+        quad = jnp.dot(pairf, buf[slot], preferred_element_type=jnp.float32)
+        det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+        u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+        v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+        t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+        det_ok = jnp.abs(det) >= baby_eps
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        tt = t_num * inv_det
+        s = jnp.where(det < 0.0, -1.0, 1.0)
+        us = u_num * s
+        vs = v_num * s
+        da = det * s
+        hit = (
+            det_ok
+            & (us >= 0.0)
+            & (vs >= 0.0)
+            & (us + vs <= da)
+            & (tt >= t_lo)
+            & (tt <= t_hi)
+        )
+        ttm = jnp.where(hit, tt, jnp.inf)
+        row_min = jnp.min(ttm, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
+        lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
+        kbest = jnp.min(lane_masked, axis=1, keepdims=True)
+        # STRICT <: a mesh hit exactly at t_limit loses to the prim hit in
+        # every kernel (their update rule ties resolve toward tri = -1).
+        acc = row_min < tlim
+        out_t_ref[:] = jnp.where(acc, row_min, jnp.inf)
+        out_tri_ref[:] = jnp.where(acc, tile * TRI_TILE + kbest, -1)
+
+    @pl.when(tile < 0)
+    def _():
+        out_t_ref[:] = jnp.full((RAY_TILE, 1), jnp.inf, jnp.float32)
+        out_tri_ref[:] = jnp.full((RAY_TILE, 1), -1, jnp.int32)
+
+
+def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget):
+    """Packet (G-ray) candidate bins: which packets visit which tiles,
+    laid out tile-major in GP-padded slot runs.
+
+    Returns ``(src [B] i32 packet-id per slot (n_g = dead), vt [NV] i32
+    tile per visit, overflow bool)``.  The k=2 slab keeps the bins a
+    superset of the kernel's k=1 member test (module contract)."""
+    npre = rayf_p.shape[0]
+    g = BINNED_G
+    gp = RAY_TILE // g
+    n_g = npre // g
+    ct = aabb_c.shape[0]
+    o = rayf_p[:, 6:9]
+    d = rayf_p[:, 0:3]
+    live = rayf_p[:, 9] > 0.0
+    tl = tlim_p[:, 0]
+    invx = 1.0 / jnp.where(d[:, 0] == 0.0, 1e-20, d[:, 0])
+    invy = 1.0 / jnp.where(d[:, 1] == 0.0, 1e-20, d[:, 1])
+    invz = 1.0 / jnp.where(d[:, 2] == 0.0, 1e-20, d[:, 2])
+    hs = []
+    TC = 16
+    for c0 in range(0, ct, TC):
+        rows = aabb_c[c0 : c0 + TC]
+        lo, hi = rows[:, 0:3], rows[:, 3:6]
+        t1x = (lo[None, :, 0] - o[:, None, 0]) * invx[:, None]
+        t2x = (hi[None, :, 0] - o[:, None, 0]) * invx[:, None]
+        t1y = (lo[None, :, 1] - o[:, None, 1]) * invy[:, None]
+        t2y = (hi[None, :, 1] - o[:, None, 1]) * invy[:, None]
+        t1z = (lo[None, :, 2] - o[:, None, 2]) * invz[:, None]
+        t2z = (hi[None, :, 2] - o[:, None, 2]) * invz[:, None]
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        tlo, thi = _widen_slab(tlo, thi, k=2)
+        h = (thi >= tlo) & (thi > 0.0) & (tlo < tl[:, None]) & live[:, None]
+        hs.append(h.reshape(n_g, g, rows.shape[0]).any(axis=1))
+    hg = jnp.concatenate(hs, axis=1)  # [n_g, Ct] packet candidates
+
+    # rank of packet i within tile column c = # candidate packets above it
+    # (block-triangular matmul: MXU does the column cumsum).
+    n_g_pad = ((n_g + 255) // 256) * 256
+    hf = jnp.pad(hg.astype(jnp.float32), ((0, n_g_pad - n_g), (0, 0)))
+    tri = jnp.asarray(
+        np.tril(np.ones((256, 256), np.float32), -1)
+    )
+    hb = hf.reshape(-1, 256, ct)
+    within = jnp.einsum(
+        "rs,bsc->brc", tri, hb, preferred_element_type=jnp.float32
+    )
+    blk = hb.sum(axis=1)
+    off_blk = jnp.cumsum(blk, axis=0) - blk
+    rank = (within + off_blk[:, None, :]).reshape(n_g_pad, ct)[:n_g]
+    rank = rank.astype(jnp.int32)
+
+    n_c = hg.sum(axis=0).astype(jnp.int32)  # [Ct]
+    pad_cnt = ((n_c + gp - 1) // gp) * gp
+    cum_end = jnp.cumsum(pad_cnt)
+    off = cum_end - pad_cnt
+    total = cum_end[-1]
+    overflow = total > pair_budget
+
+    dst = jnp.where(hg, off[None, :] + rank, pair_budget)  # OOB -> drop
+    src = (
+        jnp.full((pair_budget,), n_g, jnp.int32)
+        .at[dst.reshape(-1)]
+        .set(
+            jnp.broadcast_to(
+                jax.lax.iota(jnp.int32, n_g)[:, None], (n_g, ct)
+            ).reshape(-1),
+            mode="drop",
+        )
+    )
+    nv = pair_budget // gp
+    slots = jax.lax.iota(jnp.int32, nv) * gp
+    vt = jnp.searchsorted(cum_end, slots, side="right").astype(jnp.int32)
+    vt = jnp.where(slots < total, jnp.minimum(vt, ct - 1), -1)
+    return src, vt, overflow
+
+
+def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret):
+    """Packet-binned traversal over the (sorted live) prefix; bit-identical
+    to the sweep by the candidate contract.  Returns (t, tri) [npre, 1]."""
+    npre = rayf_p.shape[0]
+    g = BINNED_G
+    gp = RAY_TILE // g
+    n_g = npre // g
+    ct = aabb_c.shape[0]
+    pair_budget = n_g * BINNED_PAIR_MEAN + gp * ct
+    pair_budget = ((pair_budget + gp - 1) // gp) * gp
+    src, vt, overflow = _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget)
+
+    # Packet records in bin order: one [G*NUM_F]-wide row gather per slot
+    # (+1 zero row for dead slots).
+    recs = jnp.concatenate(
+        [rayf_p.reshape(n_g, g * NUM_F), jnp.zeros((1, g * NUM_F))], axis=0
+    )
+    pairf = recs[src].reshape(pair_budget * g, NUM_F)
+    tlg = jnp.concatenate(
+        [tlim_p.reshape(n_g, g), jnp.zeros((1, g))], axis=0
+    )
+    ptlim = tlg[src].reshape(pair_budget * g, 1)
+
+    nv = pair_budget // gp
+    kern = functools.partial(_binned_kernel, baby_eps, nv)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nv,),
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, NUM_F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(aabb_c.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # features (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_F, 4 * TRI_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    pair_t, pair_tri = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((pair_budget * g, 1), jnp.float32),
+            jax.ShapeDtypeStruct((pair_budget * g, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(vt, pairf, ptlim, aabb_c, feat)
+
+    # Reduce per ray across its packet's visits: min t, then lowest tri
+    # among exact-t ties (the contract's winner rule).
+    pt = pair_t.reshape(pair_budget, g)
+    ptri = pair_tri.reshape(pair_budget, g)
+    tmin = (
+        jnp.full((n_g + 1, g), jnp.inf)
+        .at[src]
+        .min(pt, mode="drop")
+    )
+    pair_tmin = tmin[src]
+    cand_tri = jnp.where(pt == pair_tmin, ptri, _INT_BIG)
+    trimin = (
+        jnp.full((n_g + 1, g), _INT_BIG, jnp.int32)
+        .at[src]
+        .min(cand_tri, mode="drop")
+    )
+    hit = tmin[:n_g] < jnp.inf
+    out_t = jnp.where(hit, tmin[:n_g], tlim_p.reshape(n_g, g))
+    out_tri = jnp.where(hit, trimin[:n_g], -1)
+    return (
+        out_t.reshape(npre, 1),
+        out_tri.reshape(npre, 1),
+        overflow,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
-        "sort_mode", "streamed",
+        "sort_mode", "streamed", "binned",
     ),
 )
 def _run(
@@ -1122,6 +1421,7 @@ def _run(
     planned: bool = False,
     sort_mode: str = "morton",
     streamed: bool = False,
+    binned: bool = False,
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -1312,8 +1612,46 @@ def _run(
     if streamed and padded_tris // TRI_TILE > 8 * 128:
         # plan capacity is 1024 tiles (~1M tris); beyond it, chunked chain
         streamed, planned = False, True
+    if binned and padded_tris // TRI_TILE > 8 * 128:
+        binned = False  # needs the streamed fallback's plan capacity
 
-    if streamed:
+    if binned:
+        # Packet-binned traversal over the sorted live prefix; live rays
+        # beyond the prefix or a bin-budget overflow fall back to the
+        # streamed walk (bit-identical either way -- candidate contract).
+        npre = min(
+            n_pad, ((n_pad // 4 + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+        )
+        live_pos = jnp.max(
+            jnp.where(
+                rayf[:, 9] > 0.0, jax.lax.iota(jnp.int32, n_pad), -1
+            )
+        )
+
+        def binned_branch(_):
+            t_p, tri_p, ovf = _run_binned(
+                rayf[:npre], features, tile_aabb, tlim[:npre],
+                baby_eps, interpret,
+            )
+            full_t = jnp.concatenate([t_p, tlim[npre:]], axis=0)
+            full_tri = jnp.concatenate(
+                [tri_p, jnp.full((n_pad - npre, 1), -1, jnp.int32)],
+                axis=0,
+            )
+            return jax.lax.cond(
+                ovf,
+                lambda __: run_streamed(rayf, features, tile_aabb, tlim),
+                lambda __: (full_t, full_tri),
+                None,
+            )
+
+        out_t, out_tri = jax.lax.cond(
+            live_pos < npre,
+            binned_branch,
+            lambda _: run_streamed(rayf, features, tile_aabb, tlim),
+            None,
+        )
+    elif streamed:
         out_t, out_tri = run_streamed(rayf, features, tile_aabb, tlim)
     elif padded_tris <= chunk_tris:
         if planned:
@@ -1401,6 +1739,10 @@ def traversal_flags(mode: str, padded_tris: int) -> dict:
         return dict(planned=True, streamed=False)
     if mode == "streamed":
         return dict(planned=True, streamed=True)
+    if mode == "binned":
+        # packet-binned with the streamed walk as its liveness/overflow
+        # fallback (planned=True backs the >1024-tile capacity path)
+        return dict(planned=True, streamed=True, binned=True)
     return dict(planned=True, streamed=padded_tris > CHUNK_TRIS)
 
 
@@ -1422,6 +1764,7 @@ def mesh_intersect_mxu(
     planned: bool = False,
     sort_mode: str = "morton",
     streamed: bool = False,
+    binned: bool = False,
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -1445,6 +1788,7 @@ def mesh_intersect_mxu(
         planned=planned,
         sort_mode=sort_mode,
         streamed=streamed,
+        binned=binned,
     )
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)

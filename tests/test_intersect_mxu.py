@@ -351,3 +351,40 @@ def test_mxu_streamed_matches_sweep_bitexact():
         )
         np.testing.assert_array_equal(np.asarray(strm.tri), np.asarray(sweep.tri))
         np.testing.assert_array_equal(np.asarray(strm.t), np.asarray(sweep.t))
+
+
+def test_mxu_binned_matches_sweep_bitexact():
+    """The packet-binned traversal (tile-major visits over G-ray packet
+    bins, XLA scatter-min reduce) must be bit-identical to the sweep --
+    the candidate contract again: bins are k=2 supersets, every pair row
+    applies the k=1 member test, and the reduce implements the exact
+    (min t, lowest tri) winner rule.  Covers the engaged path (live rays
+    inside the prefix after sorting) and the liveness fallback."""
+    rng = np.random.default_rng(48)
+    scene = _random_mesh_scene(rng, n_tris=300)
+    dev, static = build_device_scene(scene)
+
+    n = 1100
+    ro, rd = _rays(rng, n)
+    lim = jnp.asarray(
+        np.where(rng.random(n) > 0.5, 3.4e38, 2.0), jnp.float32
+    )
+    kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds)
+    for live_frac, sort in ((0.15, True), (0.9, True), (0.9, False)):
+        active = jnp.asarray(rng.random(n) < live_frac)
+        sweep = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=False, **kw,
+        )
+        binned = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=True,
+            streamed=True, binned=True, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(binned.tri), np.asarray(sweep.tri)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(binned.t), np.asarray(sweep.t)
+        )
