@@ -1129,6 +1129,17 @@ def _streamed_kernel(
 # candidate sum, which IS the quantity the other kernels cannot reach.
 BINNED_G = int(os.environ.get("PTT_BINNED_G", "8"))  # rays per packet
 BINNED_PAIR_MEAN = int(os.environ.get("PTT_BINNED_PAIR_MEAN", "14"))
+# Live-prefix tiers the binned path covers, as divisors of n (descending
+# selectivity): the smallest prefix holding every live ray wins, so late
+# sparse bounces pay a small construction bill and mid bounces a larger
+# one; live counts beyond the largest tier fall back to the streamed walk.
+# Tunable for population studies (budget and construction scale with the
+# prefix; each tier compiles its own kernel).
+BINNED_PREFIX_TIERS = tuple(
+    int(s)
+    for s in os.environ.get("PTT_BINNED_TIERS", "4").split(",")
+    if s.strip()
+)
 _INT_BIG = np.int32(2**31 - 1)
 
 
@@ -1616,41 +1627,56 @@ def _run(
         binned = False  # needs the streamed fallback's plan capacity
 
     if binned:
-        # Packet-binned traversal over the sorted live prefix; live rays
-        # beyond the prefix or a bin-budget overflow fall back to the
-        # streamed walk (bit-identical either way -- candidate contract).
-        npre = min(
-            n_pad, ((n_pad // 4 + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
-        )
+        # Packet-binned traversal over the sorted live prefix; the
+        # smallest configured tier holding every live ray engages, live
+        # counts beyond the largest tier or a bin-budget overflow fall
+        # back to the streamed walk (bit-identical either way --
+        # candidate contract).
         live_pos = jnp.max(
             jnp.where(
                 rayf[:, 9] > 0.0, jax.lax.iota(jnp.int32, n_pad), -1
             )
         )
 
-        def binned_branch(_):
-            t_p, tri_p, ovf = _run_binned(
-                rayf[:npre], features, tile_aabb, tlim[:npre],
-                baby_eps, interpret,
-            )
-            full_t = jnp.concatenate([t_p, tlim[npre:]], axis=0)
-            full_tri = jnp.concatenate(
-                [tri_p, jnp.full((n_pad - npre, 1), -1, jnp.int32)],
-                axis=0,
-            )
-            return jax.lax.cond(
-                ovf,
-                lambda __: run_streamed(rayf, features, tile_aabb, tlim),
-                lambda __: (full_t, full_tri),
-                None,
-            )
+        def binned_at(npre):
+            def branch(_):
+                t_p, tri_p, ovf = _run_binned(
+                    rayf[:npre], features, tile_aabb, tlim[:npre],
+                    baby_eps, interpret,
+                )
+                full_t = jnp.concatenate([t_p, tlim[npre:]], axis=0)
+                full_tri = jnp.concatenate(
+                    [tri_p, jnp.full((n_pad - npre, 1), -1, jnp.int32)],
+                    axis=0,
+                )
+                return jax.lax.cond(
+                    ovf,
+                    lambda __: run_streamed(
+                        rayf, features, tile_aabb, tlim
+                    ),
+                    lambda __: (full_t, full_tri),
+                    None,
+                )
 
-        out_t, out_tri = jax.lax.cond(
-            live_pos < npre,
-            binned_branch,
-            lambda _: run_streamed(rayf, features, tile_aabb, tlim),
-            None,
-        )
+            return branch
+
+        npres = []
+        for div in sorted(set(BINNED_PREFIX_TIERS), reverse=True):
+            npre = min(
+                n_pad,
+                ((n_pad // div + RAY_TILE - 1) // RAY_TILE) * RAY_TILE,
+            )
+            if npre not in npres:
+                npres.append(npre)
+
+        chain = lambda _: run_streamed(rayf, features, tile_aabb, tlim)
+        for npre in reversed(npres):
+            chain = (
+                lambda _, npre=npre, nxt=chain: jax.lax.cond(
+                    live_pos < npre, binned_at(npre), nxt, None
+                )
+            )
+        out_t, out_tri = chain(None)
     elif streamed:
         out_t, out_tri = run_streamed(rayf, features, tile_aabb, tlim)
     elif padded_tris <= chunk_tris:
