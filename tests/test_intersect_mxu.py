@@ -371,20 +371,37 @@ def test_mxu_binned_matches_sweep_bitexact():
     )
     kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
               mesh_bounds=static.mesh_bounds)
-    for live_frac, sort in ((0.15, True), (0.9, True), (0.9, False)):
-        active = jnp.asarray(rng.random(n) < live_frac)
-        sweep = mesh_intersect_mxu(
-            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
-            ro, rd, active, lim, sort_rays=sort, planned=False, **kw,
-        )
-        binned = mesh_intersect_mxu(
-            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
-            ro, rd, active, lim, sort_rays=sort, planned=True,
-            streamed=True, binned=True, **kw,
-        )
-        np.testing.assert_array_equal(
-            np.asarray(binned.tri), np.asarray(sweep.tri)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(binned.t), np.asarray(sweep.t)
-        )
+    from project3_cuda_path_tracer_2025_tpu.ops import intersect_mxu as _m
+
+    # (tiers, live_frac, sort): single-tier engaged, single-tier liveness
+    # fallback, and the multi-tier chain (a mid tier engages at 0.4, the
+    # full-prefix tier at 0.9 sorted and unsorted).
+    cases = (
+        ((4,), 0.15, True),
+        ((4,), 0.9, True),
+        ((4, 2, 1), 0.4, True),
+        ((4, 2, 1), 0.9, True),
+        ((4, 2, 1), 0.9, False),
+    )
+    saved = _m.BINNED_PREFIX_TIERS
+    try:
+        for tiers, live_frac, sort in cases:
+            _m.BINNED_PREFIX_TIERS = tiers
+            active = jnp.asarray(rng.random(n) < live_frac)
+            sweep = mesh_intersect_mxu(
+                dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+                ro, rd, active, lim, sort_rays=sort, planned=False, **kw,
+            )
+            binned = mesh_intersect_mxu(
+                dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+                ro, rd, active, lim, sort_rays=sort, planned=True,
+                streamed=True, binned=True, **kw,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(binned.tri), np.asarray(sweep.tri)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(binned.t), np.asarray(sweep.t)
+            )
+    finally:
+        _m.BINNED_PREFIX_TIERS = saved
