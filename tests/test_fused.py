@@ -202,3 +202,25 @@ def test_fused_prim_textured_matches_unfused(repo_root):
         b.step()
     np.testing.assert_allclose(a.image(), b.image(), atol=1e-6)
     assert np.isfinite(b.image()).all() and b.image().mean() > 0.001
+
+
+def test_render_binned_traversal_matches_default(repo_root):
+    """Full renders through mxu_traversal='binned' (fused mesh bounce) must
+    be bit-identical to the default traversal -- the per-ray candidate
+    contract holds at the integrator level, not just per intersect."""
+    import dataclasses
+
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_mesh_5k.json")), 16, 16
+    )
+    mesh.state.trace_depth = 3
+    base = RenderConfig(
+        mesh_intersector="mxu", fused_bounce="on", ray_sorting="on"
+    )
+    a = Renderer(mesh, base)
+    b = Renderer(mesh, dataclasses.replace(base, mxu_traversal="binned"))
+    for _ in range(2):
+        a.step()
+        b.step()
+    np.testing.assert_array_equal(a.image(), b.image())
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
