@@ -1140,6 +1140,11 @@ BINNED_PREFIX_TIERS = tuple(
     for s in os.environ.get("PTT_BINNED_TIERS", "4").split(",")
     if s.strip()
 )
+# Bin-construction layout: 0 scatters the dense [n_g, Ct] slot matrix
+# (input-linear in tiles); K > 0 first compacts each packet row to its
+# first K candidate tiles so the scatter input is [n_g, K] (packets with
+# more than K candidates overflow to the streamed fallback).
+BINNED_TOPK = int(os.environ.get("PTT_BINNED_TOPK", "0"))
 _INT_BIG = np.int32(2**31 - 1)
 
 
@@ -1309,16 +1314,45 @@ def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget):
     total = cum_end[-1]
     overflow = total > pair_budget
 
-    dst = jnp.where(hg, off[None, :] + rank, pair_budget)  # OOB -> drop
+    if 0 < BINNED_TOPK < ct:
+        # Scatter-input reduction: XLA scatter cost scales with INPUT size
+        # (n_g*ct for the dense layout), so compact each packet's candidate
+        # row to its first K tiles before scattering (n_g*K inputs).  A
+        # packet with more than K candidates sets overflow -> streamed
+        # fallback, so the bins stay exact candidate supersets.
+        K = BINNED_TOPK
+        rowrank = jnp.cumsum(hg.astype(jnp.int32), axis=1) - hg.astype(
+            jnp.int32
+        )
+        overflow = overflow | jnp.any((rowrank[:, -1] + hg[:, -1]) > K)
+        # Contract the (c -> k) one-hot chunked over tiles: tile id and
+        # column rank of each packet's k-th candidate, no materialized
+        # [n_g, ct, K] tensor per chunk beyond TC lanes.
+        slot_k = jnp.zeros((n_g, K), jnp.int32)  # off[tile] + rank, summed
+        cnt_k = jnp.zeros((n_g, K), jnp.bool_)
+        kk = jax.lax.iota(jnp.int32, K)
+        for c0 in range(0, ct, TC):
+            hgc = hg[:, c0 : c0 + TC]
+            rrc = rowrank[:, c0 : c0 + TC]
+            onek = hgc[:, :, None] & (rrc[:, :, None] == kk[None, None, :])
+            slot_c = off[None, c0 : c0 + TC] + rank[:, c0 : c0 + TC]
+            slot_k += jnp.sum(
+                onek * slot_c[:, :, None], axis=1, dtype=jnp.int32
+            )
+            cnt_k |= jnp.any(onek, axis=1)
+        dst = jnp.where(cnt_k, slot_k, pair_budget)
+        src_ids = jnp.broadcast_to(
+            jax.lax.iota(jnp.int32, n_g)[:, None], (n_g, K)
+        )
+    else:
+        dst = jnp.where(hg, off[None, :] + rank, pair_budget)  # OOB -> drop
+        src_ids = jnp.broadcast_to(
+            jax.lax.iota(jnp.int32, n_g)[:, None], (n_g, ct)
+        )
     src = (
         jnp.full((pair_budget,), n_g, jnp.int32)
         .at[dst.reshape(-1)]
-        .set(
-            jnp.broadcast_to(
-                jax.lax.iota(jnp.int32, n_g)[:, None], (n_g, ct)
-            ).reshape(-1),
-            mode="drop",
-        )
+        .set(src_ids.reshape(-1), mode="drop")
     )
     nv = pair_budget // gp
     slots = jax.lax.iota(jnp.int32, nv) * gp

@@ -405,3 +405,99 @@ def test_mxu_binned_matches_sweep_bitexact():
             )
     finally:
         _m.BINNED_PREFIX_TIERS = saved
+
+    # Top-K bin construction (scatter-input compaction): same contract,
+    # needs a multi-tile mesh so K < Ct actually engages, plus the
+    # K-overflow fallback (K=1 with 3 tiles overflows for some packet).
+    scene3 = _random_mesh_scene(rng, n_tris=2500)
+    dev3, static3 = build_device_scene(scene3)
+    active = jnp.asarray(rng.random(n) < 0.9)
+    saved_k = _m.BINNED_TOPK
+    try:
+        sweep = mesh_intersect_mxu(
+            dev3.mxu_mesh, static3.num_triangles, static3.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=True, planned=False,
+            baby_eps=CFG.baby_epsilon, interpret=True,
+            mesh_bounds=static3.mesh_bounds,
+        )
+        for k in (2, 1):
+            _m.BINNED_TOPK = k
+            binned = mesh_intersect_mxu(
+                dev3.mxu_mesh, static3.num_triangles,
+                static3.mxu_padded_tris,
+                ro, rd, active, lim, sort_rays=True, planned=True,
+                streamed=True, binned=True,
+                baby_eps=CFG.baby_epsilon, interpret=True,
+                mesh_bounds=static3.mesh_bounds,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(binned.tri), np.asarray(sweep.tri)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(binned.t), np.asarray(sweep.t)
+            )
+    finally:
+        _m.BINNED_TOPK = saved_k
+
+    # Engaged top-K construction must reproduce the dense scatter's bins
+    # exactly (same src and visit tables) when no packet overflows K.
+    scene20 = _random_mesh_scene(rng, n_tris=9000)
+    dev20, static20 = build_device_scene(scene20)
+    ct = dev20.mxu_mesh.tile_aabb.shape[0]
+    assert ct >= 4
+    n_pad = ((n + _m.RAY_TILE - 1) // _m.RAY_TILE) * _m.RAY_TILE
+    pad = lambda x, f=0.0: jnp.pad(x, (0, n_pad - n), constant_values=f)
+    c = dev20.mxu_mesh.center
+    # Narrow-corridor rays (+x toward a band of the mesh) so packets hit a
+    # strict subset of tiles; random directions would union every tile.
+    lo3 = np.asarray(static20.mesh_bounds[:3])
+    hi3 = np.asarray(static20.mesh_bounds[3:])
+    oy = lo3[1] + (hi3[1] - lo3[1]) * rng.random(n) * 0.2
+    oz = lo3[2] + (hi3[2] - lo3[2]) * rng.random(n) * 0.2
+    ro = type(ro)(
+        jnp.asarray(np.full(n, lo3[0] - 1.0), jnp.float32),
+        jnp.asarray(oy, jnp.float32),
+        jnp.asarray(oz, jnp.float32),
+    )
+    rd = type(rd)(
+        jnp.ones((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    )
+    osx, osy, osz = pad(ro.x) - c[0], pad(ro.y) - c[1], pad(ro.z) - c[2]
+    dx, dy, dz = pad(rd.x), pad(rd.y), pad(rd.z)
+    one = pad(active.astype(jnp.float32))
+    rayf = jnp.stack(
+        [dx * one, dy * one, dz * one,
+         (osy * dz - osz * dy) * one, (osz * dx - osx * dz) * one,
+         (osx * dy - osy * dx) * one,
+         osx * one, osy * one, osz * one, one]
+        + [jnp.zeros_like(one)] * 6,
+        axis=1,
+    )
+    tlimp = pad(lim, 3.4e38)[:, None]
+    g = _m.BINNED_G
+    gp = _m.RAY_TILE // g
+    n_g = n_pad // g
+    budget = ((n_g * _m.BINNED_PAIR_MEAN + gp * ct + gp - 1) // gp) * gp
+    aabb = dev20.mxu_mesh.tile_aabb
+    try:
+        _m.BINNED_TOPK = 0
+        src_d, vt_d, ovf_d = _m._packet_bins(aabb, rayf, tlimp, budget)
+        assert not bool(np.asarray(ovf_d))
+        engaged = False
+        for k in range(ct - 1, 0, -1):
+            _m.BINNED_TOPK = k
+            src_k, vt_k, ovf_k = _m._packet_bins(aabb, rayf, tlimp, budget)
+            if bool(np.asarray(ovf_k)):
+                break
+            engaged = True
+            np.testing.assert_array_equal(
+                np.asarray(src_k), np.asarray(src_d)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(vt_k), np.asarray(vt_d)
+            )
+        assert engaged, "no K < Ct engaged without overflow"
+    finally:
+        _m.BINNED_TOPK = saved_k
