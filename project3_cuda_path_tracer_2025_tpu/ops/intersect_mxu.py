@@ -1369,7 +1369,7 @@ def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret):
     gp = RAY_TILE // g
     n_g = npre // g
     ct = aabb_c.shape[0]
-    pair_budget = n_g * BINNED_PAIR_MEAN + gp * ct
+    pair_budget = n_g * min(BINNED_PAIR_MEAN, ct) + gp * ct
     pair_budget = ((pair_budget + gp - 1) // gp) * gp
     src, vt, overflow = _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget)
 
