@@ -127,6 +127,11 @@ class RenderConfig:
     # (tested; per-ray candidate contract in ops/intersect_mxu.py); "auto"
     # picks planned for VMEM-resident meshes, streamed beyond CHUNK_TRIS.
     mxu_traversal: str = "auto"
+    # Live-prefix tiers for the binned traversal, as divisors of the ray
+    # count (ascending coverage): the smallest prefix holding every live
+    # ray engages; beyond the largest, the streamed walk runs.  Each tier
+    # compiles its own kernel with a proportionate pair budget.
+    mxu_binned_tiers: tuple = (4, 2)
 
     # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).
     #   devices = 1: single chip (default).  devices = N: render across the

@@ -525,7 +525,8 @@ def fused_mesh_bounce(
         interpret=interpret,
         compute_uv=False,
         **intersect_mxu.traversal_flags(
-            cfg.mxu_traversal, static.mxu_padded_tris
+            cfg.mxu_traversal, static.mxu_padded_tris,
+            binned_tiers=cfg.mxu_binned_tiers,
         ),
     )
     textured = static.num_textures > 0

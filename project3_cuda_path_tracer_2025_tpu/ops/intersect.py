@@ -422,7 +422,8 @@ def intersect_scene(
                 interpret=jax.default_backend() == "cpu",
                 compute_uv=False,  # derived below from the resolved rows
                 **intersect_mxu.traversal_flags(
-                    cfg.mxu_traversal, static.mxu_padded_tris
+                    cfg.mxu_traversal, static.mxu_padded_tris,
+                    binned_tiers=cfg.mxu_binned_tiers,
                 ),
             )
         elif mode == "threaded":

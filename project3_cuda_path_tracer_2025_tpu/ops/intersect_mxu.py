@@ -1445,7 +1445,7 @@ def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret):
     static_argnames=(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
-        "sort_mode", "streamed", "binned",
+        "sort_mode", "streamed", "binned", "binned_tiers",
     ),
 )
 def _run(
@@ -1467,6 +1467,7 @@ def _run(
     sort_mode: str = "morton",
     streamed: bool = False,
     binned: bool = False,
+    binned_tiers: tuple = None,
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -1695,7 +1696,10 @@ def _run(
             return branch
 
         npres = []
-        for div in sorted(set(BINNED_PREFIX_TIERS), reverse=True):
+        tiers = (
+            binned_tiers if binned_tiers is not None else BINNED_PREFIX_TIERS
+        )
+        for div in sorted(set(tiers), reverse=True):
             npre = min(
                 n_pad,
                 ((n_pad // div + RAY_TILE - 1) // RAY_TILE) * RAY_TILE,
@@ -1783,7 +1787,9 @@ def _run(
     return out_t[:n, 0], tri
 
 
-def traversal_flags(mode: str, padded_tris: int) -> dict:
+def traversal_flags(
+    mode: str, padded_tris: int, binned_tiers: tuple = None
+) -> dict:
     """Resolve ``RenderConfig.mxu_traversal`` to kernel flags.
 
     "auto": planned for VMEM-resident meshes (<= CHUNK_TRIS; the feature
@@ -1802,7 +1808,10 @@ def traversal_flags(mode: str, padded_tris: int) -> dict:
     if mode == "binned":
         # packet-binned with the streamed walk as its liveness/overflow
         # fallback (planned=True backs the >1024-tile capacity path)
-        return dict(planned=True, streamed=True, binned=True)
+        flags = dict(planned=True, streamed=True, binned=True)
+        if binned_tiers is not None:
+            flags["binned_tiers"] = tuple(binned_tiers)
+        return flags
     return dict(planned=True, streamed=padded_tris > CHUNK_TRIS)
 
 
@@ -1825,6 +1834,7 @@ def mesh_intersect_mxu(
     sort_mode: str = "morton",
     streamed: bool = False,
     binned: bool = False,
+    binned_tiers: tuple = None,
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -1849,6 +1859,7 @@ def mesh_intersect_mxu(
         sort_mode=sort_mode,
         streamed=streamed,
         binned=binned,
+        binned_tiers=binned_tiers,
     )
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)
