@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="MXU intersector traversal (bit-identical results; see config)",
     )
     p.add_argument(
+        "--bounce-prefix-tiers", default="",
+        help="comma-separated ray-count divisors (e.g. '4,2'): run each "
+        "fused mesh bounce over the smallest alive-prefix tier "
+        "(bit-identical; requires ray sorting)",
+    )
+    p.add_argument(
         "--spp-per-launch", type=int, default=1,
         help="samples traced per device dispatch (amortizes tunnel latency)",
     )
@@ -151,6 +157,9 @@ def main(argv=None) -> int:
         mesh_intersector=args.mesh_intersector,
         ray_sorting=args.ray_sorting,
         mxu_traversal=args.mxu_traversal,
+        bounce_prefix_tiers=tuple(
+            int(s) for s in args.bounce_prefix_tiers.split(",") if s.strip()
+        ),
         spp_per_launch=args.spp_per_launch,
         devices=args.devices,
         parallel_mode=args.parallel_mode,

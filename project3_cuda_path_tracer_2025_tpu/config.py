@@ -132,6 +132,15 @@ class RenderConfig:
     # ray engages; beyond the largest, the streamed walk runs.  Each tier
     # compiles its own kernel with a proportionate pair budget.
     mxu_binned_tiers: tuple = (4, 2)
+    # Prefix tiers for the WHOLE fused mesh bounce, as divisors of the ray
+    # count: with persistent sorting, every alive ray sits inside the
+    # previous bounce's alive prefix, so all per-bounce stages (prim
+    # prepass, sort, permute, RNG, intersect, resolve, shade) can run over
+    # a static prefix covering the alive region -- a lax.cond picks the
+    # smallest tier holding every alive ray, falling back to full-N.
+    # Results are bit-identical (elementwise stages + pixel-keyed RNG).
+    # () disables tiering.  Requires ray sorting.
+    bounce_prefix_tiers: tuple = ()
 
     # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).
     #   devices = 1: single chip (default).  devices = N: render across the

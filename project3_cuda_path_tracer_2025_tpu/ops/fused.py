@@ -471,18 +471,84 @@ def fused_mesh_bounce(
     """One full mesh-scene bounce: prim-t prepass + sorted MXU intersect +
     attr resolve/interp (XLA) + the fused prim-intersect/merge/shade kernel.
 
-    Ray-coherence sorting is PERSISTENT (round 2): the whole bounce state is
-    permuted once up front and every stage runs in sorted order -- there is
-    no per-stage scatter-back; pixel ids ride along and the film scatter-adds
-    by pixel at iteration end (``film_ops.accumulate(permuted=True)``).
-    ``resort=False`` reuses the previous bounce's order (rays move between
-    bounces so coherence goes stale, but the kernel's per-bounce root cull
-    stays exact) -- see ``RenderConfig.ray_sort_every``.
+    With ``cfg.bounce_prefix_tiers`` set, the ENTIRE bounce runs over a
+    static prefix of the ray state: the persistent coherence sort (3-level
+    key: live&root < live&prim-only < dead) packs every alive ray into the
+    previous bounce's alive prefix, so a ``lax.cond`` chain picks the
+    smallest configured tier holding every alive ray and all per-bounce
+    stages -- prim prepass, sort key + argsort, permutation apply, RNG,
+    the MXU intersect, attr resolve, the fused shade kernel -- operate on
+    ``[:n/div]`` rows while the dead tail passes through untouched.  Images
+    are bit-identical to the untiered bounce: every stage is elementwise
+    per ray with pixel-keyed RNG, so only dead-row LAYOUT differs, which
+    the by-pixel film scatter erases."""
+    sort_rays = cfg.ray_sorting == "on" or (
+        cfg.ray_sorting == "auto" and jax.default_backend() != "cpu"
+    )
+    n = paths.pixel.shape[0]
+    rng_n = rng_n or n
+    tiers = tuple(cfg.bounce_prefix_tiers) if sort_rays else ()
+    npres = []
+    if tiers:
+        # Tier sizes in intersect-block units (256 rows); both kernels pad
+        # internally so any multiple works, and 256 keeps tiers engageable
+        # at test-sized ray counts.
+        unit = 256
+        for div in sorted({int(d) for d in tiers}, reverse=True):
+            npre = min(n, ((n // max(1, div) + unit - 1) // unit) * unit)
+            if 0 < npre < n and npre not in npres:
+                npres.append(npre)
+    if not npres:
+        return _fused_mesh_bounce_at(
+            dev, static, cfg, paths, uniforms, interpret, resort, su_key,
+            rng_n, sort_rays,
+        )
 
-    Bit-compatible with the unfused path up to Mosaic float re-association
-    (same RNG planes, same mesh kernel, same shade formulas); every op
-    downstream of the permutation is elementwise per ray, so per-pixel
-    results are independent of the sort toggle."""
+    live_pos = jnp.max(
+        jnp.where(paths.alive, jax.lax.iota(jnp.int32, n), -1)
+    )
+    tmap = jax.tree_util.tree_map
+
+    def tier_at(npre):
+        def branch(_):
+            head = tmap(lambda a: a[:npre], paths)
+            out = _fused_mesh_bounce_at(
+                dev, static, cfg, head, uniforms, interpret, resort,
+                su_key, rng_n, sort_rays,
+            )
+            tail = tmap(lambda a: a[npre:], paths)
+            return tmap(
+                lambda a, b: jnp.concatenate([a, b], axis=0), out, tail
+            )
+
+        return branch
+
+    chain = lambda _: _fused_mesh_bounce_at(
+        dev, static, cfg, paths, uniforms, interpret, resort, su_key,
+        rng_n, sort_rays,
+    )
+    for npre in reversed(sorted(npres)):
+        chain = (
+            lambda _, npre=npre, nxt=chain: jax.lax.cond(
+                live_pos < npre, tier_at(npre), nxt, None
+            )
+        )
+    return chain(None)
+
+
+def _fused_mesh_bounce_at(
+    dev,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    paths: PathState,
+    uniforms: jnp.ndarray,
+    interpret: bool,
+    resort: bool,
+    su_key: jax.Array,
+    rng_n: int,
+    sort_rays: bool,
+) -> PathState:
+    """The bounce body (possibly over a prefix slice of the ray state)."""
     import dataclasses
 
     from . import intersect_mxu
@@ -490,9 +556,6 @@ def fused_mesh_bounce(
 
     t_lim = prim_t_min(static, cfg, paths.origin, paths.direction)
 
-    sort_rays = cfg.ray_sorting == "on" or (
-        cfg.ray_sorting == "auto" and jax.default_backend() != "cpu"
-    )
     if sort_rays and resort:
         mode = "signature" if cfg.ray_sort_mode == "auto" else cfg.ray_sort_mode
         perm = intersect_mxu.coherence_perm(
@@ -503,9 +566,9 @@ def fused_mesh_bounce(
     if su_key is not None:
         # Per-pixel RNG evaluated IN PLACE at each slot's pixel id (a slot's
         # random stream follows its PIXEL, so any permutation history is
-        # invisible): elementwise threefry, no gather.
-        n = paths.pixel.shape[0]
-        uniforms = prng.uniforms_at(su_key, paths.pixel, 3, rng_n or n)
+        # invisible): elementwise threefry, no gather.  rng_n is the GLOBAL
+        # stream length (resolved before any prefix slicing).
+        uniforms = prng.uniforms_at(su_key, paths.pixel, 3, rng_n)
     elif sort_rays:
         # Pixel-order planes were passed: route them through the (possibly
         # historical) permutation with one [N, 3] row gather.

@@ -508,6 +508,12 @@ def coherence_perm(
             ro.x - c[0], ro.y - c[1], ro.z - c[2],
             rd.x, rd.y, rd.z, live, lo, hi, sort_bits, sort_dir_bits,
         )
+    # Three-level key: live&root (signature/morton) < live&!root (prim-only
+    # rays, sentinel 1<<30 from the key fns) < dead.  Packing ALL alive rays
+    # ahead of dead ones gives the fused bounce a tight alive prefix
+    # (bounce_prefix_tiers); order within the trailing classes is
+    # irrelevant to the kernel (their blocks are skipped either way).
+    key = jnp.where(active, key, jnp.int32((1 << 30) + 1))
     # A packed single-operand sort ((key << 20) | lane when the key fits)
     # was measured on hardware at 173.04 vs 173.14 ms/frame -- the argsort
     # is NOT a bottleneck (XLA's (key, iota) sort is already cheap at 640k);

@@ -224,3 +224,28 @@ def test_render_binned_traversal_matches_default(repo_root):
         b.step()
     np.testing.assert_array_equal(a.image(), b.image())
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+
+
+def test_render_bounce_prefix_tiers_matches_default(repo_root):
+    """Prefix-tiered fused mesh bounce (every stage over the alive-prefix
+    tier) must produce bit-identical images and alive counts: all stages
+    are elementwise per ray with pixel-keyed RNG, so only dead-row layout
+    may differ -- invisible to the by-pixel film scatter."""
+    import dataclasses
+
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_mesh_5k.json")), 32, 32
+    )
+    # Depth 6 so the alive population decays INTO the n/2 tier: bounces 4-5
+    # run the sliced body (probed via the branch debug hook when built).
+    mesh.state.trace_depth = 6
+    base = RenderConfig(
+        mesh_intersector="mxu", fused_bounce="on", ray_sorting="on"
+    )
+    a = Renderer(mesh, base)
+    b = Renderer(mesh, dataclasses.replace(base, bounce_prefix_tiers=(4, 2)))
+    for _ in range(2):
+        a.step()
+        b.step()
+    np.testing.assert_array_equal(a.image(), b.image())
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
