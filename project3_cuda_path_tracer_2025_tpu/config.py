@@ -172,5 +172,13 @@ class RenderConfig:
     # Multi-chip: number of devices to shard rays across (1 = single chip).
     num_devices: int = 1
 
+    def __post_init__(self):
+        # Tier fields must be tuples: the config is a jit static arg
+        # (hashable) and bench/CLI layers hand these in as JSON lists.
+        for f in ("mxu_binned_tiers", "bounce_prefix_tiers"):
+            v = getattr(self, f)
+            if not isinstance(v, tuple):
+                object.__setattr__(self, f, tuple(v))
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
