@@ -82,8 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--bounce-prefix-tiers", default="",
         help="comma-separated ray-count divisors (e.g. '4,2'): run each "
-        "fused mesh bounce over the smallest alive-prefix tier "
-        "(bit-identical; requires ray sorting)",
+        "fused mesh / textured-prim bounce over the smallest alive-prefix "
+        "tier (bit-identical; requires ray sorting)",
+    )
+    p.add_argument(
+        "--fused-bounce",
+        choices=("auto", "on", "off"),
+        default="auto",
+        help="fused Pallas bounce kernels (auto: on when on TPU)",
     )
     p.add_argument(
         "--spp-per-launch", type=int, default=1,
@@ -160,6 +166,7 @@ def main(argv=None) -> int:
         bounce_prefix_tiers=tuple(
             int(s) for s in args.bounce_prefix_tiers.split(",") if s.strip()
         ),
+        fused_bounce=args.fused_bounce,
         spp_per_launch=args.spp_per_launch,
         devices=args.devices,
         parallel_mode=args.parallel_mode,

@@ -139,7 +139,9 @@ class RenderConfig:
     # a static prefix covering the alive region -- a lax.cond picks the
     # smallest tier holding every alive ray, falling back to full-N.
     # Results are bit-identical (elementwise stages + pixel-keyed RNG).
-    # () disables tiering.  Requires ray sorting.
+    # () disables tiering.  Requires ray sorting.  Also engages the
+    # textured-PRIM fused path (fused_tex_bounce), where it adds a stable
+    # liveness-packing sort so the tiers have a prefix to slice.
     bounce_prefix_tiers: tuple = ()
 
     # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).

@@ -117,9 +117,12 @@ def megakernel_iteration(
                 rng_n=n_global,
             )
         elif use_fused_tex:
+            # Liveness-pack resort (tex_sort_active) from bounce 1 on (all
+            # camera rays are alive at d=0, so a d=0 sort is pure cost).
             paths = fused.fused_tex_bounce(
                 dev, static, cfg, paths, su_key=skey,
                 interpret=fused_interpret, rng_n=n_global,
+                resort=(d > 0 and d % max(1, cfg.ray_sort_every) == 0),
             )
         else:
             isect = intersect_scene(dev, static, paths, cfg)
@@ -136,15 +139,17 @@ def megakernel_iteration(
     # fori(while(...)) nesting of mesh traversal has shown pathological
     # compile behavior, so mesh scenes stay unrolled too.
     unroll = cfg.unroll_bounces if cfg.unroll_bounces is not None else True
-    if use_fused_mesh and not unroll:
+    tex_sorted = use_fused_tex and fused.tex_sort_active(cfg)
+    if (use_fused_mesh or tex_sorted) and not unroll:
         # Persistent sorting keys resort on the Python bounce id, which needs
         # an unrolled loop; an explicit unroll_bounces=False can't be honored
         # on this path -- say so instead of silently changing compile behavior.
         import warnings
 
         warnings.warn(
-            "unroll_bounces=False is overridden to True: the fused mesh path "
-            "resorts on the Python bounce id and requires an unrolled loop "
+            "unroll_bounces=False is overridden to True: the fused mesh and "
+            "liveness-sorted tex paths resort on the Python bounce id and "
+            "require an unrolled loop "
             "(set fused_bounce='off' to keep a rolled loop).",
             stacklevel=2,
         )
@@ -157,12 +162,13 @@ def megakernel_iteration(
     else:
         paths, alive_counts = jax.lax.fori_loop(0, depth, bounce, carry)
 
-    # The fused mesh path keeps paths persistently sorted; pixel ids ride
-    # along, so the film scatter-adds by pixel (one ray per pixel -> exact).
-    # Sharded: the sort permutes within the chip's block only, so shifting
-    # by the block's first pixel id maps into the local film exactly.
+    # The fused mesh path (and the liveness-packed tex path) keeps paths
+    # persistently sorted; pixel ids ride along, so the film scatter-adds by
+    # pixel (one ray per pixel -> exact).  Sharded: the sort permutes within
+    # the chip's block only, so shifting by the block's first pixel id maps
+    # into the local film exactly.
     film = film_ops.accumulate(
-        film, paths, permuted=use_fused_mesh,
+        film, paths, permuted=use_fused_mesh or tex_sorted,
         base=0 if shard is None else idx[0],
     )
     return film, alive_counts

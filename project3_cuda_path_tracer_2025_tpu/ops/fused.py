@@ -386,6 +386,18 @@ def fused_tex_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
     )
 
 
+def tex_sort_active(cfg: RenderConfig) -> bool:
+    """Whether the textured-prim fused path runs liveness-packed (and so
+    prefix-tiered, and its film must scatter by pixel).  Unlike the mesh
+    path -- where coherence sorting pays for itself through traversal culls
+    -- a pure liveness sort here only buys the tier slicing, so it engages
+    only when tiers are configured."""
+    return bool(cfg.bounce_prefix_tiers) and (
+        cfg.ray_sorting == "on"
+        or (cfg.ray_sorting == "auto" and jax.default_backend() != "cpu")
+    )
+
+
 def fused_tex_bounce(
     dev,
     static: SceneStatic,
@@ -394,6 +406,7 @@ def fused_tex_bounce(
     su_key: jax.Array,
     interpret: bool = False,
     rng_n: int = None,
+    resort: bool = True,
 ) -> PathState:
     """One bounce for textured-prim scenes: ``intersect_scene`` (any
     intersector backend, incl. the internally-sorted MXU chain) and
@@ -401,11 +414,60 @@ def fused_tex_bounce(
     (reference shades prim and mesh textures uniformly,
     ``src/pathtrace.cu:549-553``); the BSDF scatter stage -- the largest
     XLA-intermediate producer after intersection -- runs in the Pallas
-    kernel (``mode="precomputed"``)."""
+    kernel (``mode="precomputed"``).
+
+    With ``cfg.bounce_prefix_tiers`` set (and sorting enabled), the bounce
+    runs liveness-packed: a stable alive-first permutation (pixel order
+    preserved within each class, so texel locality is unchanged) packs every
+    alive ray into a prefix and the whole stage chain -- intersect, texture
+    resolve, the scatter kernel -- operates on the smallest configured tier
+    holding the population, exactly as the fused mesh bounce does.  The sort
+    runs WITHIN the engaged tier (rays past the tier are dead by the tier
+    predicate), so its cost shrinks with the population.  Bit-identical to
+    the unsorted bounce: every stage is elementwise per ray with pixel-keyed
+    RNG, so only dead-row layout differs, which the by-pixel film scatter
+    erases."""
+    n = paths.pixel.shape[0]
+    rng_n = rng_n or n
+    sort_rays = tex_sort_active(cfg)
+    npres = _tier_sizes(n, cfg.bounce_prefix_tiers) if sort_rays else []
+
+    def body(head):
+        if sort_rays and resort:
+            head = _liveness_pack(head)
+        return _fused_tex_bounce_at(
+            dev, static, cfg, head, su_key, interpret, rng_n
+        )
+
+    if not npres:
+        return body(paths)
+    return _run_tiered(paths, npres, body)
+
+
+def _liveness_pack(paths: PathState) -> PathState:
+    """Stable alive-first permutation of the whole path state (one packed
+    row gather; pixel order preserved within the alive / dead classes)."""
+    n = paths.pixel.shape[0]
+    perm = jnp.argsort(jnp.where(paths.alive, 0, 1).astype(jnp.int32))
+    paths, _ = _permute_bounce_state(
+        paths, jnp.zeros((n,), jnp.float32), perm
+    )
+    return paths
+
+
+def _fused_tex_bounce_at(
+    dev,
+    static: SceneStatic,
+    cfg: RenderConfig,
+    paths: PathState,
+    su_key: jax.Array,
+    interpret: bool,
+    rng_n: int,
+) -> PathState:
+    """The textured-prim bounce body (possibly over a prefix slice)."""
     import dataclasses
 
-    n = paths.pixel.shape[0]
-    uniforms = prng.uniforms_at(su_key, paths.pixel, 3, rng_n or n)
+    uniforms = prng.uniforms_at(su_key, paths.pixel, 3, rng_n)
     isect = intersect_scene(dev, static, paths, cfg)
     mid = jnp.clip(isect.material_id, 0, static.num_materials - 1)
     base = vec.select_gather(dev.materials.color, mid)
@@ -488,22 +550,37 @@ def fused_mesh_bounce(
     n = paths.pixel.shape[0]
     rng_n = rng_n or n
     tiers = tuple(cfg.bounce_prefix_tiers) if sort_rays else ()
-    npres = []
-    if tiers:
-        # Tier sizes in intersect-block units (256 rows); both kernels pad
-        # internally so any multiple works, and 256 keeps tiers engageable
-        # at test-sized ray counts.
-        unit = 256
-        for div in sorted({int(d) for d in tiers}, reverse=True):
-            npre = min(n, ((n // max(1, div) + unit - 1) // unit) * unit)
-            if 0 < npre < n and npre not in npres:
-                npres.append(npre)
+    npres = _tier_sizes(n, tiers)
+    body = lambda head: _fused_mesh_bounce_at(
+        dev, static, cfg, head, uniforms, interpret, resort, su_key,
+        rng_n, sort_rays,
+    )
     if not npres:
-        return _fused_mesh_bounce_at(
-            dev, static, cfg, paths, uniforms, interpret, resort, su_key,
-            rng_n, sort_rays,
-        )
+        return body(paths)
+    return _run_tiered(paths, npres, body)
 
+
+def _tier_sizes(n: int, tiers) -> list:
+    """Prefix-tier row counts for an n-ray state: each configured divisor d
+    yields an n/d prefix rounded UP to intersect-block units (256 rows --
+    every kernel pads internally so any multiple works, and 256 keeps tiers
+    engageable at test-sized ray counts)."""
+    npres = []
+    unit = 256
+    for div in sorted({int(d) for d in tiers}, reverse=True):
+        npre = min(n, ((n // max(1, div) + unit - 1) // unit) * unit)
+        if 0 < npre < n and npre not in npres:
+            npres.append(npre)
+    return npres
+
+
+def _run_tiered(paths: PathState, npres: list, body) -> PathState:
+    """Run ``body`` (a whole-bounce function PathState -> PathState) over the
+    smallest configured prefix holding every alive ray: a ``lax.cond`` chain
+    tests the last alive position (rays are liveness-packed by the caller's
+    persistent sort) and the dead tail passes through untouched.  Falls back
+    to the full state when the population exceeds every tier."""
+    n = paths.pixel.shape[0]
     live_pos = jnp.max(
         jnp.where(paths.alive, jax.lax.iota(jnp.int32, n), -1)
     )
@@ -512,10 +589,7 @@ def fused_mesh_bounce(
     def tier_at(npre):
         def branch(_):
             head = tmap(lambda a: a[:npre], paths)
-            out = _fused_mesh_bounce_at(
-                dev, static, cfg, head, uniforms, interpret, resort,
-                su_key, rng_n, sort_rays,
-            )
+            out = body(head)
             tail = tmap(lambda a: a[npre:], paths)
             return tmap(
                 lambda a, b: jnp.concatenate([a, b], axis=0), out, tail
@@ -523,10 +597,7 @@ def fused_mesh_bounce(
 
         return branch
 
-    chain = lambda _: _fused_mesh_bounce_at(
-        dev, static, cfg, paths, uniforms, interpret, resort, su_key,
-        rng_n, sort_rays,
-    )
+    chain = lambda _: body(paths)
     for npre in reversed(sorted(npres)):
         chain = (
             lambda _, npre=npre, nxt=chain: jax.lax.cond(

@@ -249,3 +249,32 @@ def test_render_bounce_prefix_tiers_matches_default(repo_root):
         b.step()
     np.testing.assert_array_equal(a.image(), b.image())
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+
+
+def test_render_tex_prefix_tiers_matches_default(repo_root):
+    """Prefix-tiered textured-PRIM fused bounce (liveness-packing sort +
+    every stage over the alive-prefix tier) must be bit-identical to the
+    unsorted fused path: stages are elementwise per ray with pixel-keyed
+    RNG, so only dead-row layout differs -- erased by the by-pixel film
+    scatter."""
+    import dataclasses
+
+    from project3_cuda_path_tracer_2025_tpu.ops import fused as fused_mod
+
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_prim_textured.json")),
+        32, 32,
+    )
+    # Depth 6 so the alive population decays into the n/2 and n/4 tiers.
+    mesh.state.trace_depth = 6
+    base = RenderConfig(fused_bounce="on", ray_sorting="on")
+    tiered = dataclasses.replace(base, bounce_prefix_tiers=(4, 2))
+    assert fused_mod.tex_sort_active(tiered)
+    assert not fused_mod.tex_sort_active(base)  # tiers gate the sort
+    a = Renderer(mesh, base)
+    b = Renderer(mesh, tiered)
+    for _ in range(2):
+        a.step()
+        b.step()
+    np.testing.assert_array_equal(a.image(), b.image())
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)

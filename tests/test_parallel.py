@@ -165,6 +165,33 @@ def test_shardmap_fused_kernels_sharded(scenes_dir, repo_root):
     np.testing.assert_allclose(c.image(), d.image(), atol=1e-6)
 
 
+def test_shardmap_tex_tiers_sharded(repo_root):
+    """Liveness-packed prefix-tiered textured-prim fused bounce under
+    shard_map (per-chip sort + tier cond + by-pixel film scatter with a
+    local base) == single chip."""
+    import numpy as np
+
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+    from project3_cuda_path_tracer_2025_tpu.scene import load_scene, set_resolution
+
+    # 48x48 = 288 rays/chip: the n/2 tier rounds to 256 rows (< 288), so the
+    # tier cond actually engages inside each shard program.
+    s = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_prim_textured.json")),
+        48, 48,
+    )
+    s.state.trace_depth = 4
+    kw = dict(
+        fused_bounce="on", ray_sorting="on", bounce_prefix_tiers=(4, 2)
+    )
+    a = Renderer(s, RenderConfig(**kw))
+    b = Renderer(s, RenderConfig(devices=8, **kw))
+    a.step()
+    b.step()
+    np.testing.assert_allclose(a.image(), b.image(), atol=1e-6)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_shardmap_wavefront_bitexact(scenes_dir):
     """Wavefront (compaction permutations + scatter-add film with local
