@@ -174,30 +174,6 @@ class MeshHit(NamedTuple):
     v: jnp.ndarray
 
 
-def _leaf_test(
-    dev: DeviceScene,
-    ro: Vec3,
-    rd: Vec3,
-    tri_idx: jnp.ndarray,
-    valid: jnp.ndarray,
-    best: MeshHit,
-    baby_eps: float,
-) -> MeshHit:
-    tris = dev.triangles
-    idx = jnp.clip(tri_idx, 0, tris.material_id.shape[0] - 1)
-    v0 = vec.select_gather(tris.v0, idx)
-    v1 = vec.select_gather(tris.v1, idx)
-    v2 = vec.select_gather(tris.v2, idx)
-    hit, t, u, v = triangle_intersection(ro, rd, v0, v1, v2, baby_eps)
-    closer = valid & hit & (t > 0.0) & (t < best.t)
-    return MeshHit(
-        t=jnp.where(closer, t, best.t),
-        tri=jnp.where(closer, idx, best.tri),
-        u=jnp.where(closer, u, best.u),
-        v=jnp.where(closer, v, best.v),
-    )
-
-
 def mesh_intersect_bvh(
     dev: DeviceScene,
     static: SceneStatic,
@@ -341,9 +317,21 @@ def mesh_intersect_brute(
     baby_eps: float,
 ) -> MeshHit:
     """Brute-force all-triangles sweep: the A/B oracle for BVH correctness
-    (reference ``NAIVE_MESH_LOADING`` path, ``src/pathtrace.cu:365-395``)."""
+    (reference ``NAIVE_MESH_LOADING`` path, ``src/pathtrace.cu:365-395``).
+
+    TPU-native layout: triangles stream through the loop in packed [K, 9]
+    blocks -- ONE contiguous ``dynamic_slice`` per step (no per-ray gathers),
+    then K scalar-broadcast Moller-Trumbore tests unrolled inside the body so
+    XLA fuses each block into a handful of [N]-wide elementwise kernels.
+    Program size is bounded by ceil(T/K) loop steps regardless of mesh size
+    (the per-triangle fori_loop formulation built T sequential gather steps,
+    which crawled and could fault the remote backend on big programs).
+    Winner semantics are exactly the reference's sequential rule: strictly
+    closer wins, so the lowest triangle index wins ties -- the unrolled
+    in-order updates preserve this bit-for-bit."""
     n = ro.x.shape[0]
     t_cnt = static.num_triangles
+    tris = dev.triangles
     best0 = MeshHit(
         t=t_limit.astype(jnp.float32),
         tri=jnp.full((n,), -1, jnp.int32),
@@ -351,11 +339,37 @@ def mesh_intersect_brute(
         v=jnp.zeros((n,), jnp.float32),
     )
 
-    def body(j, best):
-        idx = jnp.full((n,), j, jnp.int32)
-        return _leaf_test(dev, ro, rd, idx, active, best, baby_eps)
+    K = 16
+    t_pad = ((t_cnt + K - 1) // K) * K
+    packed = jnp.stack(
+        [
+            tris.v0.x, tris.v0.y, tris.v0.z,
+            tris.v1.x, tris.v1.y, tris.v1.z,
+            tris.v2.x, tris.v2.y, tris.v2.z,
+        ],
+        axis=1,
+    )  # [T, 9]
+    packed = jnp.pad(packed, ((0, t_pad - t_cnt), (0, 0)))
 
-    return jax.lax.fori_loop(0, t_cnt, body, best0)
+    def body(j, best):
+        blk = jax.lax.dynamic_slice_in_dim(packed, j * K, K)  # [K, 9]
+        for k in range(K):
+            row = blk[k]
+            v0 = Vec3(row[0], row[1], row[2])
+            v1 = Vec3(row[3], row[4], row[5])
+            v2 = Vec3(row[6], row[7], row[8])
+            hit, t, u, v = triangle_intersection(ro, rd, v0, v1, v2, baby_eps)
+            idx = j * K + k
+            ok = active & hit & (t > 0.0) & (t < best.t) & (idx < t_cnt)
+            best = MeshHit(
+                t=jnp.where(ok, t, best.t),
+                tri=jnp.where(ok, idx, best.tri),
+                u=jnp.where(ok, u, best.u),
+                v=jnp.where(ok, v, best.v),
+            )
+        return best
+
+    return jax.lax.fori_loop(0, t_pad // K, body, best0)
 
 
 def intersect_scene(
