@@ -141,7 +141,9 @@ class RenderConfig:
     # Results are bit-identical (elementwise stages + pixel-keyed RNG).
     # () disables tiering.  Requires ray sorting.  Also engages the
     # textured-PRIM fused path (fused_tex_bounce), where it adds a stable
-    # liveness-packing sort so the tiers have a prefix to slice.
+    # liveness-packing sort so the tiers have a prefix to slice, and the
+    # WAVEFRONT integrator (gated on stream compaction, whose front-pack
+    # provides the prefix there).
     bounce_prefix_tiers: tuple = ()
 
     # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).

@@ -63,39 +63,62 @@ def wavefront_iteration(
         cam, static.width, static.height, depth, cam_u, idx=idx
     )
 
+    # Prefix tiers (cfg.bounce_prefix_tiers): compaction packs every alive
+    # ray into a front prefix, so the whole bounce -- intersect, sort, RNG,
+    # shade, and the compaction itself -- can run over the smallest
+    # configured tier holding the population (same lax.cond chain as the
+    # fused mesh bounce; the dead tail passes through untouched).  Gated on
+    # compaction being enabled: without packing there is no prefix to slice.
+    from ..ops.fused import _run_tiered, _tier_sizes
+
+    npres = (
+        _tier_sizes(n, cfg.bounce_prefix_tiers)
+        if cfg.bounce_prefix_tiers and cfg.stream_compaction
+        else []
+    )
+
     def bounce(d, carry):
         paths, alive_counts = carry
-        isect = intersect_scene(dev, static, paths, cfg)
 
-        if cfg.material_sorting:
-            paths, isect = sort_paths_by_material(
-                paths, isect, static.num_materials
+        def stages(head):
+            isect = intersect_scene(dev, static, head, cfg)
+
+            if cfg.material_sorting:
+                head, isect = sort_paths_by_material(
+                    head, isect, static.num_materials
+                )
+
+            # Per-pixel RNG evaluated elementwise at each slot's pixel id: a
+            # ray's random stream is permutation-invariant by construction
+            # and no gather through the compaction/sort permutation is
+            # needed (bit-identical to drawing in pixel order + gathering).
+            su = prng.uniforms_at(
+                prng.stage_key(ikey, d, 1), head.pixel, 3, n_global
             )
+            head = shade_ops.shade(dev, static, head, isect, su, cfg)
 
-        # Per-pixel RNG evaluated elementwise at each slot's pixel id: a
-        # ray's random stream is permutation-invariant by construction and
-        # no gather through the compaction/sort permutation is needed
-        # (bit-identical to drawing in pixel order and gathering).
-        su = prng.uniforms_at(
-            prng.stage_key(ikey, d, 1), paths.pixel, 3, n_global
-        )
-        paths = shade_ops.shade(dev, static, paths, isect, su, cfg)
+            hn = head.pixel.shape[0]
+            if cfg.stream_compaction == "adaptive":
+                # Pack only when mostly dead: the permutation is pure
+                # overhead on mostly-live bounces (static shapes; see
+                # RenderConfig).  Image-identical either way (pixel-keyed
+                # RNG); threshold is local to the engaged tier.
+                hl = jnp.sum(head.alive.astype(jnp.int32))
+                head = jax.lax.cond(
+                    2 * hl < hn,
+                    lambda p: compact_paths(p)[0],
+                    lambda p: p,
+                    head,
+                )
+            elif cfg.stream_compaction:
+                head = compact_paths(head)[0]
+            return head
 
-        if cfg.stream_compaction == "adaptive":
-            # Pack only when mostly dead: the permutation is pure overhead
-            # on mostly-live bounces (static shapes; see RenderConfig).
-            # Image-identical to always/never packing (pixel-keyed RNG).
-            live = jnp.sum(paths.alive.astype(jnp.int32))
-            paths = jax.lax.cond(
-                2 * live < n,
-                lambda p: compact_paths(p)[0],
-                lambda p: p,
-                paths,
-            )
-        elif cfg.stream_compaction:
-            paths, live = compact_paths(paths)
+        if npres:
+            paths = _run_tiered(paths, npres, stages)
         else:
-            live = jnp.sum(paths.alive.astype(jnp.int32))
+            paths = stages(paths)
+        live = jnp.sum(paths.alive.astype(jnp.int32))
         return paths, alive_counts.at[d].set(live)
 
     unroll = cfg.unroll_bounces if cfg.unroll_bounces is not None else True

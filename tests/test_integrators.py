@@ -47,17 +47,26 @@ def test_megakernel_renders_sane(cornell_small):
 
 def test_wavefront_matches_megakernel_bitexact(cornell_small):
     base = _film(cornell_small, RenderConfig(integrator="megakernel"))
-    for sc, ms in ((True, True), (False, False), ("adaptive", False)):
+    # (compaction, material sort, prefix tiers): tiers engage at 48x48=2304
+    # rays (n/2 -> 1280-row tier) once the population decays.
+    for sc, ms, tiers in (
+        (True, True, ()),
+        (False, False, ()),
+        ("adaptive", False, ()),
+        (True, False, (4, 2)),
+        ("adaptive", False, (4, 2)),
+    ):
         wf = _film(
             cornell_small,
             RenderConfig(
                 integrator="wavefront",
                 stream_compaction=sc,
                 material_sorting=ms,
+                bounce_prefix_tiers=tiers,
             ),
         )
         np.testing.assert_array_equal(
-            wf, base, err_msg=f"compaction={sc} sorting={ms}"
+            wf, base, err_msg=f"compaction={sc} sorting={ms} tiers={tiers}"
         )
 
 
