@@ -106,6 +106,11 @@ class RenderConfig:
     # every bounce; k = reuse the previous order for k-1 bounces (coherence
     # goes stale but the argsort+gather wrapper cost amortizes).
     ray_sort_every: int = 1
+    # Sort bounce 0 too?  Camera rays arrive in pixel order, which is
+    # already image-coherent (root-missing rays cluster into whole screen
+    # regions = skippable blocks), so the first argsort+apply may be pure
+    # overhead.  Bit-identical either way (the sort is a pure permutation).
+    ray_sort_first_bounce: bool = True
 
     # MXU-intersector attribute resolve: "gather" ([Tp,24] row gather, flat
     # cost -- measured faster at every size) or "onehot" (one-hot matmul,

@@ -113,7 +113,10 @@ def megakernel_iteration(
             paths = fused.fused_mesh_bounce(
                 dev, static, cfg, paths, su_key=skey,
                 interpret=fused_interpret,
-                resort=(d % max(1, cfg.ray_sort_every) == 0),
+                resort=(
+                    d % max(1, cfg.ray_sort_every) == 0
+                    and (d > 0 or cfg.ray_sort_first_bounce)
+                ),
                 rng_n=n_global,
             )
         elif use_fused_tex:

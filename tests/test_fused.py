@@ -251,6 +251,27 @@ def test_render_bounce_prefix_tiers_matches_default(repo_root):
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
 
 
+def test_render_skip_first_bounce_sort_matches_default(repo_root):
+    """ray_sort_first_bounce=False (camera rays stay in pixel order for
+    bounce 0) must be bit-identical: the coherence sort is a pure
+    permutation around order-invariant stages."""
+    import dataclasses
+
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_mesh_5k.json")), 16, 16
+    )
+    mesh.state.trace_depth = 3
+    base = RenderConfig(
+        mesh_intersector="mxu", fused_bounce="on", ray_sorting="on"
+    )
+    a = Renderer(mesh, base)
+    b = Renderer(mesh, dataclasses.replace(base, ray_sort_first_bounce=False))
+    a.step()
+    b.step()
+    np.testing.assert_array_equal(a.image(), b.image())
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+
+
 def test_tier_sizes_unit():
     """Tier arithmetic: divisors round UP to 256-row units, degenerate and
     full-size tiers are dropped, duplicates collapse."""
