@@ -69,10 +69,10 @@ def wavefront_iteration(
     # configured tier holding the population (same lax.cond chain as the
     # fused mesh bounce; the dead tail passes through untouched).  Gated on
     # compaction being enabled: without packing there is no prefix to slice.
-    from ..ops.fused import _run_tiered, _tier_sizes
+    from ..ops.fused import run_tiered, tier_sizes
 
     npres = (
-        _tier_sizes(n, cfg.bounce_prefix_tiers)
+        tier_sizes(n, cfg.bounce_prefix_tiers)
         if cfg.bounce_prefix_tiers and cfg.stream_compaction
         else []
     )
@@ -115,7 +115,7 @@ def wavefront_iteration(
             return head
 
         if npres:
-            paths = _run_tiered(paths, npres, stages)
+            paths = run_tiered(paths, npres, stages)
         else:
             paths = stages(paths)
         live = jnp.sum(paths.alive.astype(jnp.int32))

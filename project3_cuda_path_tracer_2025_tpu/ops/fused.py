@@ -430,7 +430,7 @@ def fused_tex_bounce(
     n = paths.pixel.shape[0]
     rng_n = rng_n or n
     sort_rays = tex_sort_active(cfg)
-    npres = _tier_sizes(n, cfg.bounce_prefix_tiers) if sort_rays else []
+    npres = tier_sizes(n, cfg.bounce_prefix_tiers) if sort_rays else []
 
     def body(head):
         if sort_rays and resort:
@@ -441,7 +441,7 @@ def fused_tex_bounce(
 
     if not npres:
         return body(paths)
-    return _run_tiered(paths, npres, body)
+    return run_tiered(paths, npres, body)
 
 
 def _liveness_pack(paths: PathState) -> PathState:
@@ -550,17 +550,17 @@ def fused_mesh_bounce(
     n = paths.pixel.shape[0]
     rng_n = rng_n or n
     tiers = tuple(cfg.bounce_prefix_tiers) if sort_rays else ()
-    npres = _tier_sizes(n, tiers)
+    npres = tier_sizes(n, tiers)
     body = lambda head: _fused_mesh_bounce_at(
         dev, static, cfg, head, uniforms, interpret, resort, su_key,
         rng_n, sort_rays,
     )
     if not npres:
         return body(paths)
-    return _run_tiered(paths, npres, body)
+    return run_tiered(paths, npres, body)
 
 
-def _tier_sizes(n: int, tiers) -> list:
+def tier_sizes(n: int, tiers) -> list:
     """Prefix-tier row counts for an n-ray state: each configured divisor d
     yields an n/d prefix rounded UP to intersect-block units (256 rows --
     every kernel pads internally so any multiple works, and 256 keeps tiers
@@ -574,7 +574,7 @@ def _tier_sizes(n: int, tiers) -> list:
     return npres
 
 
-def _run_tiered(paths: PathState, npres: list, body) -> PathState:
+def run_tiered(paths: PathState, npres: list, body) -> PathState:
     """Run ``body`` (a whole-bounce function PathState -> PathState) over the
     smallest configured prefix holding every alive ray: a ``lax.cond`` chain
     tests the last alive position (rays are liveness-packed by the caller's

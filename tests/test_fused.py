@@ -275,15 +275,15 @@ def test_render_skip_first_bounce_sort_matches_default(repo_root):
 def test_tier_sizes_unit():
     """Tier arithmetic: divisors round UP to 256-row units, degenerate and
     full-size tiers are dropped, duplicates collapse."""
-    from project3_cuda_path_tracer_2025_tpu.ops.fused import _tier_sizes
+    from project3_cuda_path_tracer_2025_tpu.ops.fused import tier_sizes
 
-    assert _tier_sizes(1024, (4, 2)) == [256, 512]
-    assert _tier_sizes(1024, (2, 2, 4)) == [256, 512]
-    assert _tier_sizes(1000, (2,)) == [512]
-    assert _tier_sizes(256, (2,)) == []  # rounds up to n -> no tier
-    assert _tier_sizes(1024, ()) == []
-    assert _tier_sizes(1024, (1,)) == []  # n/1 == n -> no tier
-    assert _tier_sizes(640000, (8, 4, 2)) == [80128, 160000, 320000]
+    assert tier_sizes(1024, (4, 2)) == [256, 512]
+    assert tier_sizes(1024, (2, 2, 4)) == [256, 512]
+    assert tier_sizes(1000, (2,)) == [512]
+    assert tier_sizes(256, (2,)) == []  # rounds up to n -> no tier
+    assert tier_sizes(1024, ()) == []
+    assert tier_sizes(1024, (1,)) == []  # n/1 == n -> no tier
+    assert tier_sizes(640000, (8, 4, 2)) == [80128, 160000, 320000]
 
 
 def test_render_tex_prefix_tiers_matches_default(repo_root):
