@@ -165,6 +165,7 @@ def test_shardmap_fused_kernels_sharded(scenes_dir, repo_root):
     np.testing.assert_allclose(c.image(), d.image(), atol=1e-6)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_shardmap_tex_tiers_sharded(repo_root):
     """Liveness-packed prefix-tiered textured-prim fused bounce under
     shard_map (per-chip sort + tier cond + by-pixel film scatter with a
