@@ -336,6 +336,13 @@ def main():
     print(f"knot200k: {len(f)} tris")
     cornell_mesh_scene("knot200k.obj", 2.0, "cornell_mesh_200k")
 
+    # 500k-tri stress mesh: 2.5x past the reference's largest published
+    # scene, for the scaling curve beyond parity.
+    v, f = torus_knot(p=3, q=5, seg_u=1000, seg_v=250)
+    write_obj(os.path.join(SCENES, "obj", "knot500k.obj"), v, f)
+    print(f"knot500k: {len(f)} tris")
+    cornell_mesh_scene("knot500k.obj", 2.0, "cornell_mesh_500k")
+
 
 if __name__ == "__main__":
     sys.exit(main())
