@@ -100,6 +100,152 @@ def compute_triangle_tangents(p: np.ndarray, uv: np.ndarray) -> Tuple[np.ndarray
     return dpdu, dpdv
 
 
+_IGNORED_TAGS = ("o", "g", "s", "usemtl", "mtllib", "l", "p")
+
+
+def _parse_obj_uniform(path: str):
+    """Vectorized parse for the common case: every face is a TRIANGLE with
+    one uniform index layout (``v``, ``v/t``, ``v//n`` or ``v/t/n``) and
+    every ``v``/``vn``/``vt`` record has its standard component count.
+    Returns ``(positions, normals, uvs, tri [T,3,3] int64)`` or ``None``
+    when the file doesn't fit (polygons, mixed layouts, extra components)
+    -- the caller then takes the general per-line parser.  A 500k-triangle
+    OBJ parses in ~2 s here vs ~100 s through the Python loop."""
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    v_l, vt_l, vn_l, f_l = [], [], [], []
+    for ln in text.split("\n"):
+        if ln.startswith("v "):
+            v_l.append(ln[2:])
+        elif ln.startswith("f "):
+            f_l.append(ln[2:].strip())
+        elif ln.startswith("vn "):
+            vn_l.append(ln[3:])
+        elif ln.startswith("vt "):
+            vt_l.append(ln[3:])
+        elif ln.strip() and not ln.lstrip().startswith("#"):
+            if ln.split(None, 1)[0] not in _IGNORED_TAGS:
+                return None
+    if not f_l or not f_l[0]:
+        return None
+
+    def floats(lines, width):
+        arr = np.asarray(" ".join(lines).split(), dtype=np.float64)
+        if arr.size != width * len(lines):
+            return None
+        return arr.reshape(-1, width)
+
+    positions = floats(v_l, 3) if v_l else np.zeros((0, 3))
+    normals = floats(vn_l, 3) if vn_l else np.zeros((0, 3))
+    uvs = floats(vt_l, 2) if vt_l else np.zeros((0, 2))
+    if positions is None or normals is None or uvs is None:
+        return None
+
+    first_tok = f_l[0].split()[0]
+    slashes = first_tok.count("/")
+    double = "//" in first_tok
+    per_vert = {0: 1, 1: 2, 2: 2 if double else 3}[slashes]
+    nf = len(f_l)
+    # Uniformity proof, line by line (C-speed string counts; a face that
+    # deviates in vertex count or layout falls back to the general parser).
+    if any(l.count("/") != 3 * slashes for l in f_l):
+        return None
+    if double:
+        if any(l.count("//") != 3 for l in f_l):
+            return None
+    elif slashes and any("//" in l for l in f_l):
+        return None
+    if any(len(l.split()) != 3 for l in f_l):
+        return None
+    toks = " ".join(f_l).replace("/", " ").split()
+    arr = np.asarray(toks, dtype=np.int64)
+    if arr.size != per_vert * 3 * nf:
+        return None
+    arr = arr.reshape(nf, 3, per_vert)
+
+    def resolve(idx, count):
+        return np.where(idx > 0, idx - 1, count + idx)
+
+    vi = resolve(arr[:, :, 0], len(positions))
+    none = np.full((nf, 3), -1, np.int64)
+    if slashes == 0:
+        ti, ni = none, none
+    elif slashes == 1:
+        ti, ni = resolve(arr[:, :, 1], len(uvs)), none
+    elif double:
+        ti, ni = none, resolve(arr[:, :, 1], len(normals))
+    else:
+        ti = resolve(arr[:, :, 1], len(uvs))
+        ni = resolve(arr[:, :, 2], len(normals))
+    tri = np.stack([vi, ti, ni], axis=2)
+    return positions, normals, uvs, tri
+
+
+def _bake_triangles(positions, normals, uvs, tri, material_id,
+                    transform, inv_transpose) -> dict:
+    """Vectorized world-space bake of [T,3,3] triangle index records —
+    the same math as the reference loop (``src/scene.cpp:274-341,395-426``),
+    evaluated in f64 and cast to f32 like the per-face path."""
+    r3 = transform[:3, :3]
+    t3 = transform[:3, 3]
+    n3 = inv_transpose[:3, :3]
+    T = tri.shape[0]
+    vi, ti, ni = tri[:, :, 0], tri[:, :, 1], tri[:, :, 2]
+
+    p = positions[vi] @ r3.T + t3  # [T,3,3]
+
+    has_n = ni >= 0
+    if len(normals) == 0:
+        wn = np.zeros((T, 3, 3))
+    else:
+        wn = normals[np.where(has_n, ni, 0)] @ n3.T
+        ln = np.linalg.norm(wn, axis=-1, keepdims=True)
+        wn = np.where(ln > 0, wn / np.where(ln == 0, 1.0, ln), wn)
+        wn = np.where(has_n[..., None], wn, 0.0)
+
+    # Flat face normal when the face provided none (all vertex normals ~0
+    # post-transform; faces here are triangles, so face == triangle).
+    flat = (np.linalg.norm(wn, axis=-1) <= 1e-6).all(axis=1)
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    fn = np.cross(e1, e2)
+    fl = np.linalg.norm(fn, axis=-1, keepdims=True)
+    fn = np.where(fl > 0, fn / np.where(fl == 0, 1.0, fl), fn)
+    wn = np.where(flat[:, None, None], fn[:, None, :], wn)
+
+    if len(uvs) == 0:
+        uv = np.zeros((T, 3, 2))
+    else:
+        uv = np.where((ti >= 0)[..., None], uvs[np.where(ti >= 0, ti, 0)], 0.0)
+
+    # Tangent frame from UV deltas, degenerate fallback to an arbitrary
+    # frame (compute_triangle_tangents, vectorized).
+    duv1 = uv[:, 1] - uv[:, 0]
+    duv2 = uv[:, 2] - uv[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    degen = np.abs(det) < 1e-8
+    inv_det = 1.0 / np.where(degen, 1.0, det)
+    dpdu = (e1 * duv2[:, 1, None] - e2 * duv1[:, 1, None]) * inv_det[:, None]
+    dpdv = (-e1 * duv2[:, 0, None] + e2 * duv1[:, 0, None]) * inv_det[:, None]
+    tl = np.linalg.norm(e1, axis=-1, keepdims=True)
+    tangent = np.where(tl > 0, e1 / np.where(tl == 0, 1.0, tl), e1)
+    bit = np.cross(fn, tangent)
+    bl = np.linalg.norm(bit, axis=-1, keepdims=True)
+    bit = np.where(bl > 0, bit / np.where(bl == 0, 1.0, bl), bit)
+    dpdu = np.where(degen[:, None], tangent, dpdu)
+    dpdv = np.where(degen[:, None], bit, dpdv)
+
+    return dict(
+        tri_positions=p.astype(np.float32),
+        tri_normals=wn.astype(np.float32),
+        tri_uvs=uv.astype(np.float32),
+        tri_material_ids=np.full((T,), material_id, np.int32),
+        tri_centroids=p.mean(axis=1).astype(np.float32),
+        tri_dpdu=dpdu.astype(np.float32),
+        tri_dpdv=dpdv.astype(np.float32),
+    )
+
+
 def load_obj_triangles(
     path: str,
     material_id: int,
@@ -109,7 +255,25 @@ def load_obj_triangles(
     """Load an OBJ into world-space-baked SoA triangle arrays.
 
     Returns a dict matching the ``tri_*`` fields of ``HostScene``.
+    Uniform-triangle files take the vectorized fast path; anything else
+    (polygon fans, mixed index layouts) takes the general per-line parser.
     """
+    fast = _parse_obj_uniform(path)
+    if fast is not None:
+        return _bake_triangles(*fast, material_id, transform, inv_transpose)
+    return _load_obj_triangles_general(
+        path, material_id, transform, inv_transpose
+    )
+
+
+def _load_obj_triangles_general(
+    path: str,
+    material_id: int,
+    transform: np.ndarray,
+    inv_transpose: np.ndarray,
+) -> dict:
+    """The general path: any polygon arity, mixed index layouts, per-face
+    fan triangulation (the fast path's oracle in tests)."""
     positions, normals, uvs, faces = parse_obj(path)
 
     tri_p: List[np.ndarray] = []

@@ -179,3 +179,63 @@ def test_obj_world_space_baking(tmp_path):
     np.testing.assert_allclose(
         tris["tri_centroids"][0], [5 + 2 / 3, 2 / 3, 2 / 3], atol=1e-5
     )
+
+
+def test_obj_fast_path_matches_general(tmp_path, repo_root):
+    """The vectorized uniform-triangle parser must equal the general
+    per-line parser bit-for-bit, across every index layout; non-uniform
+    files must decline to the general path."""
+    from project3_cuda_path_tracer_2025_tpu.scene import obj_loader as O
+
+    xform = mathutil.build_transformation_matrix([1, 2, 0], [0, 30, 0], [2, 2, 2])
+    it = mathutil.inverse_transpose(xform)
+
+    # Shipped asset (v//n layout, 5k tris) + synthetic layouts.
+    cases = [str(repo_root / "scenes" / "obj" / "ico4.obj")]
+    layouts = {
+        "plain.obj": "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 1\nf 1 2 3\nf 2 3 4\n",
+        "vt.obj": (
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nvt 0 0\nvt 1 0\nvt 0 1\n"
+            "f 1/1 2/2 3/3\n"
+        ),
+        "vtn.obj": (
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nvt 0 0\nvt 1 0\nvt 0 1\n"
+            "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+            "f 1/1/1 2/2/2 3/3/3\n"
+        ),
+        "vn.obj": (
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nvn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+            "f 1//1 2//2 3//3\n"
+        ),
+        "negative.obj": "v 0 0 0\nv 1 0 0\nv 1 1 0\nf -3 -2 -1\n",
+        "comments.obj": (
+            "# header\no thing\ng grp\ns off\nusemtl none\n"
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2 3\n"
+        ),
+    }
+    for name, text in layouts.items():
+        p = tmp_path / name
+        p.write_text(text)
+        cases.append(str(p))
+    for path in cases:
+        assert O._parse_obj_uniform(path) is not None, path
+        a = O.load_obj_triangles(path, 2, xform, it)
+        b = O._load_obj_triangles_general(path, 2, xform, it)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{path}:{k}")
+
+    # Non-uniform files decline (general path answers; its own tests cover
+    # the semantics): polygons, mixed layouts, extra components, unknown tags.
+    declines = {
+        "quad.obj": "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n",
+        "mixed.obj": (
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nvt 0 0\nvt 1 0\nvt 0 1\n"
+            "f 1/1 2/2 3/3\nf 1 2 3\n"
+        ),
+        "wcoord.obj": "v 0 0 0 1\nv 1 0 0 1\nv 1 1 0 1\nf 1 2 3\n",
+        "curve.obj": "v 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2 3\ncurv 0 1 1 2\n",
+    }
+    for name, text in declines.items():
+        p = tmp_path / name
+        p.write_text(text)
+        assert O._parse_obj_uniform(str(p)) is None, name
