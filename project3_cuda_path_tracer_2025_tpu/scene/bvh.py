@@ -200,10 +200,64 @@ class OctantBVH:
 
 
 def build_octant_layouts(bvh: BVH) -> OctantBVH:
+    """All 8 octant pre-orders at once, vectorized by tree level.
+
+    For octant ``o`` the near child of a node split on axis ``a`` is the
+    right child iff bit ``a`` of ``o`` is set; the new pre-order rank obeys
+    rank(first) = rank(node)+1 and rank(second) = rank(node)+1+|first's
+    subtree| (subtree sizes are layout-invariant: the original pre-order is
+    contiguous, so size = miss_link - index).  Propagating ranks level by
+    level replaces the 8 Python DFS walks (7 s at 500k tris) with ~depth
+    NumPy passes (<0.3 s); ``_build_octant_layouts_walk`` is the oracle."""
+    m = bvh.num_nodes
+    axes = bvh.split_axes().astype(np.int64)
+    subtree = (bvh.miss_link - np.arange(m)).astype(np.int64)
+    left = bvh.left.astype(np.int64)
+    right = bvh.right.astype(np.int64)
+    is_leaf = left < 0
+    oo = np.arange(8, dtype=np.int64)[:, None]
+
+    rank = np.zeros((8, m), np.int64)
+    miss_new = np.zeros((8, m), np.int64)
+    miss_new[:, 0] = m
+    frontier = np.array([0], np.int64)
+    while frontier.size:
+        inner = frontier[~is_leaf[frontier]]
+        if inner.size == 0:
+            break
+        l, r = left[inner], right[inner]
+        flip = (oo >> axes[inner][None, :]) & 1  # [8, K]
+        first = np.where(flip == 1, r[None, :], l[None, :])
+        second = np.where(flip == 1, l[None, :], r[None, :])
+        base = rank[:, inner] + 1
+        rank[oo, first] = base
+        miss_new[oo, first] = base + subtree[first]
+        rank[oo, second] = base + subtree[first]
+        miss_new[oo, second] = miss_new[:, inner]
+        frontier = np.concatenate([l, r])
+
+    order = np.empty((8, m), np.int64)
+    order[oo, rank] = np.arange(m)[None, :]
+    miss = np.empty((8, m), np.int32)
+    start = np.empty((8, m), np.int32)
+    count = np.empty((8, m), np.int32)
+    miss[oo, rank] = miss_new.astype(np.int32)
+    start[oo, rank] = np.where(is_leaf, bvh.start, -1).astype(np.int32)[None, :]
+    count[oo, rank] = np.where(is_leaf, bvh.tri_count, 0).astype(np.int32)[None, :]
+    return OctantBVH(
+        aabb_min=bvh.aabb_min[order],
+        aabb_max=bvh.aabb_max[order],
+        miss=miss,
+        start=start,
+        count=count,
+    )
+
+
+def _build_octant_layouts_walk(bvh: BVH) -> OctantBVH:
+    """Reference implementation: one explicit DFS per octant (the oracle
+    for the vectorized builder above)."""
     m = bvh.num_nodes
     axes = bvh.split_axes()
-    # Subtree sizes are layout-invariant; in the original pre-order a subtree
-    # is contiguous, so size = miss_link - index.
     subtree = (bvh.miss_link - np.arange(m)).astype(np.int64)
 
     amin = np.zeros((8, m, 3), np.float32)

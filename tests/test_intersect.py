@@ -251,3 +251,25 @@ def test_intersect_scene_normal_faces_ray():
     nz = np.asarray(isect.normal.z)
     assert nz[0] > 0  # ray dir -z from inside -> normal +z
     assert nz[1] > 0
+
+
+def test_octant_layouts_vectorized_matches_walk():
+    """The levelized octant-layout builder must equal the per-octant DFS
+    walker exactly (all 8 pre-orders, miss links, leaf records)."""
+    from project3_cuda_path_tracer_2025_tpu.scene.bvh import (
+        _build_octant_layouts_walk,
+        build_bvh,
+        build_octant_layouts,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-1, 1, (300, 3))
+    offsets = rng.uniform(-0.2, 0.2, (300, 2, 3))
+    pos = np.stack(
+        [centers, centers + offsets[:, 0], centers + offsets[:, 1]], axis=1
+    )
+    bvh = build_bvh(pos, pos.mean(axis=1), leaf_size=4, use_native=False)
+    a = build_octant_layouts(bvh)
+    b = _build_octant_layouts_walk(bvh)
+    for f in ("aabb_min", "aabb_max", "miss", "start", "count"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
