@@ -24,6 +24,30 @@ def test_parser_flags():
     assert a.integrator == "wavefront"
 
 
+def test_end_to_end_render_devices_tiers(tmp_path, scenes_dir):
+    """--devices N (shard_map) with --fused-bounce on and prefix tiers,
+    through the real argv surface, equals the single-chip render."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    common = [
+        str(scenes_dir / "cornell.json"),
+        "--cpu", "--res", "16", "16", "--spp", "1", "--quiet",
+        "--fused-bounce", "on",
+        "--ray-sorting", "on", "--bounce-prefix-tiers", "4,2",
+    ]
+    a, b = tmp_path / "single", tmp_path / "sharded"
+    a.mkdir(), b.mkdir()
+    assert cli.main(common + ["--out", str(a)]) == 0
+    assert cli.main(common + ["--out", str(b), "--devices", "8"]) == 0
+    from project3_cuda_path_tracer_2025_tpu.utils import image_io
+
+    ia = image_io.read_png(str(next(a.glob("*.png"))))
+    ib = image_io.read_png(str(next(b.glob("*.png"))))
+    np.testing.assert_array_equal(ia, ib)
+
+
 def test_end_to_end_render(tmp_path, scenes_dir, capsys):
     rc = cli.main(
         [
