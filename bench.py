@@ -23,7 +23,35 @@ BASELINE_MS = 42.204  # reference README.md:133-136
 SCENE = "/root/reference/scenes/cornell.json"
 
 
+def _probe_backend(timeout_s: int = 300) -> str | None:
+    """Fail fast when the TPU tunnel is down: a dead relay makes
+    jax.devices() hang INDEFINITELY in-process (no error), which would hang
+    the whole benchmark run.  Probe in a bounded subprocess instead."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend probe timed out after {timeout_s}s (tunnel down?)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return tail[-1][:300] if tail else "backend probe failed"
+    return None
+
+
 def main():
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({
+            "metric": "cornell.json 800x800 depth-8 ms/frame",
+            "value": None, "unit": "ms/frame", "vs_baseline": None,
+            "error": err,
+        }))
+        return 1
+
     import jax
 
     from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
@@ -107,4 +135,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
