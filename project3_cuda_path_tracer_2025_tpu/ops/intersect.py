@@ -23,7 +23,6 @@ Python loops over static, constant-folded transforms.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
