@@ -90,6 +90,7 @@ def main():
         ("scenes/cornell_prim_textured.json", {}),  # precomputed-surface fused
         ("scenes/cornell_mesh_80k.json", {}),  # chunked MXU chain
         ("scenes/cornell_mesh_200k.json", {}),  # cyrene-class heavy mesh
+        ("scenes/cornell_mesh_500k.json", {}),  # 2.5x past the reference's largest
     ]
     if not args.quick:
         runs += [
