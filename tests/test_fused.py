@@ -301,8 +301,12 @@ def test_render_tex_prefix_tiers_matches_default(repo_root):
         32, 32,
     )
     # Depth 6 so the alive population decays into the n/2 and n/4 tiers.
+    # mxu: the TPU production combo (outer liveness sort composing with the
+    # intersector's internal coherence sort).
     mesh.state.trace_depth = 6
-    base = RenderConfig(fused_bounce="on", ray_sorting="on")
+    base = RenderConfig(
+        fused_bounce="on", ray_sorting="on", mesh_intersector="mxu"
+    )
     tiered = dataclasses.replace(base, bounce_prefix_tiers=(4, 2))
     assert fused_mod.tex_sort_active(tiered)
     assert not fused_mod.tex_sort_active(base)  # tiers gate the sort
