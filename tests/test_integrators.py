@@ -55,6 +55,7 @@ def test_wavefront_matches_megakernel_bitexact(cornell_small):
         ("adaptive", False, ()),
         (True, False, (4, 2)),
         ("adaptive", False, (4, 2)),
+        (True, True, (4, 2)),  # material sort inside the tier head
     ):
         wf = _film(
             cornell_small,
