@@ -239,3 +239,48 @@ def test_obj_fast_path_matches_general(tmp_path, repo_root):
         p = tmp_path / name
         p.write_text(text)
         assert O._parse_obj_uniform(str(p)) is None, name
+
+
+def test_multi_obj_scene(tmp_path):
+    """Two obj objects with different materials and transforms concatenate
+    into one triangle set (reference appends to global arrays,
+    src/scene.cpp:226-363)."""
+    import json
+
+    (tmp_path / "a.obj").write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2 3\n")
+    (tmp_path / "b.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n"
+    )
+    scene = {
+        "Materials": {
+            "light": {"TYPE": "Emitting", "RGB": [1, 1, 1], "EMITTANCE": 5.0},
+            "m0": {"TYPE": "Diffuse", "RGB": [0.9, 0.1, 0.1]},
+            "m1": {"TYPE": "Diffuse", "RGB": [0.1, 0.9, 0.1]},
+        },
+        "Camera": {
+            "RES": [8, 8], "FOVY": 45.0, "ITERATIONS": 1, "DEPTH": 3,
+            "FILE": "multi", "EYE": [0, 0, 4], "LOOKAT": [0, 0, 0],
+            "UP": [0, 1, 0], "APERTURE": 0.0,
+        },
+        "Objects": [
+            {"TYPE": "cube", "MATERIAL": "light",
+             "TRANS": [0, 3, 0], "ROTAT": [0, 0, 0], "SCALE": [2, 0.2, 2]},
+            {"TYPE": "obj", "PATH": "a.obj", "MATERIAL": "m0",
+             "TRANS": [-1, 0, 0], "ROTAT": [0, 0, 0], "SCALE": [1, 1, 1]},
+            {"TYPE": "obj", "PATH": "b.obj", "MATERIAL": "m1",
+             "TRANS": [1, 0, 0], "ROTAT": [0, 45, 0], "SCALE": [1, 1, 1]},
+        ],
+    }
+    p = tmp_path / "multi.json"
+    p.write_text(json.dumps(scene))
+    s = load_scene(str(p))
+    assert s.tri_positions.shape[0] == 3  # 1 tri + fan-split quad (2)
+    np.testing.assert_array_equal(s.tri_material_ids, [1, 2, 2])
+    # world bake applied per object: first tri shifted -1 in x
+    assert s.tri_positions[0, :, 0].max() <= 0.0 + 1e-6
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+
+    r = Renderer(s, RenderConfig())
+    r.step()
+    assert np.isfinite(r.image()).all()
