@@ -1399,7 +1399,7 @@ def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret):
             pl.BlockSpec((RAY_TILE, NUM_F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(aabb_c.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # features (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # features (HBM)
         ],
         out_specs=(
             pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -1602,9 +1602,9 @@ def _run(
                 pl.BlockSpec((RAY_TILE, NUM_F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(aabb_c.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # features (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # plan ids (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # plan tlo (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # features (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # plan ids (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # plan tlo (HBM)
             ],
             out_specs=(
                 pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
