@@ -1,0 +1,75 @@
+"""(Re)generate the committed golden films under tests/goldens/.
+
+The bit-exactness test matrix proves every integrator/toggle combination
+produces the SAME image -- but if all paths drifted together (an epsilon
+edit, a BSDF formula change, an RNG rekeying), nothing would notice.  The
+goldens lock ABSOLUTE behavior: tiny CPU renders at a fixed seed, compared
+by tests/test_goldens.py with a tight tolerance.
+
+Run only when an intentional behavior change invalidates them, then commit
+the new .npz files together with the change that justifies them:
+
+    python scripts/gen_goldens.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
+
+# (name, scene path, width, height, spp) -- kept tiny so the whole set
+# renders on one CPU core in ~a minute.  Coverage: diffuse+emissive
+# (cornell), glass/Fresnel + the 1e-3 ray-advance epsilon (glass_test),
+# Cook-Torrance (microfacet_test), pure mirror (reflective_test), and the
+# full mesh pipeline -- OBJ load, BVH, traversal, texture + bump shading
+# (mesh_textured).
+MATRIX = [
+    ("cornell", "/root/reference/scenes/cornell.json", 48, 48, 2),
+    ("glass", "/root/reference/scenes/cornell_glass_test.json", 32, 32, 2),
+    ("microfacet",
+     "/root/reference/scenes/cornell_microfacet_test.json", 32, 32, 2),
+    ("reflective",
+     "/root/reference/scenes/cornell_reflective_test.json", 32, 32, 2),
+    ("mesh_textured",
+     os.path.join(REPO, "scenes", "cornell_mesh_textured.json"), 32, 32, 1),
+]
+
+
+def render_film(path: str, w: int, h: int, spp: int) -> np.ndarray:
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+    from project3_cuda_path_tracer_2025_tpu.models import Renderer
+    from project3_cuda_path_tracer_2025_tpu.scene import load_scene
+    from project3_cuda_path_tracer_2025_tpu.scene.loader import set_resolution
+
+    scene = set_resolution(load_scene(path), w, h)
+    r = Renderer(scene, RenderConfig(), seed=0)
+    for _ in range(spp):
+        r.step()
+    film = r._flat_film()
+    return np.stack(
+        [np.asarray(film.x), np.asarray(film.y), np.asarray(film.z)], axis=1
+    ).astype(np.float32)
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, path, w, h, spp in MATRIX:
+        film = render_film(path, w, h, spp)
+        out = os.path.join(GOLDEN_DIR, f"{name}.npz")
+        np.savez_compressed(out, film=film, width=w, height=h, spp=spp)
+        print(f"{name}: film [{film.shape[0]},3] sum={film.sum():.6f} -> {out}")
+
+
+if __name__ == "__main__":
+    main()
