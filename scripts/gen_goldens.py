@@ -67,7 +67,12 @@ def main():
     for name, path, w, h, spp in MATRIX:
         film = render_film(path, w, h, spp)
         out = os.path.join(GOLDEN_DIR, f"{name}.npz")
-        np.savez_compressed(out, film=film, width=w, height=h, spp=spp)
+        # Store the scene path (repo-relative via $REPO) so the test can
+        # discover cases by globbing the goldens dir -- no duplicated matrix.
+        portable = path.replace(REPO, "$REPO")
+        np.savez_compressed(
+            out, film=film, width=w, height=h, spp=spp, scene=portable
+        )
         print(f"{name}: film [{film.shape[0]},3] sum={film.sum():.6f} -> {out}")
 
 
