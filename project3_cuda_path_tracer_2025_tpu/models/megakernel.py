@@ -89,6 +89,12 @@ def megakernel_iteration(
         and fused.fused_tex_applicable(static, cfg)
     )
     fused_interpret = jax.default_backend() == "cpu"
+    # Liveness-pack resort only when the tex sort is active; the sorted
+    # path forces an unrolled loop (below), so ``d`` is then a Python int
+    # and the resort cadence is a compile-time bool.  When inactive the
+    # short-circuit keeps ``d`` out of Python bool context, so a rolled
+    # fori_loop (unroll_bounces=False) still traces.
+    tex_sorted = use_fused_tex and fused.tex_sort_active(cfg)
 
     def bounce(d, carry):
         paths, alive_counts = carry
@@ -125,7 +131,11 @@ def megakernel_iteration(
             paths = fused.fused_tex_bounce(
                 dev, static, cfg, paths, su_key=skey,
                 interpret=fused_interpret, rng_n=n_global,
-                resort=(d > 0 and d % max(1, cfg.ray_sort_every) == 0),
+                resort=(
+                    tex_sorted
+                    and d > 0
+                    and d % max(1, cfg.ray_sort_every) == 0
+                ),
             )
         else:
             isect = intersect_scene(dev, static, paths, cfg)
@@ -142,7 +152,6 @@ def megakernel_iteration(
     # fori(while(...)) nesting of mesh traversal has shown pathological
     # compile behavior, so mesh scenes stay unrolled too.
     unroll = cfg.unroll_bounces if cfg.unroll_bounces is not None else True
-    tex_sorted = use_fused_tex and fused.tex_sort_active(cfg)
     if (use_fused_mesh or tex_sorted) and not unroll:
         # Persistent sorting keys resort on the Python bounce id, which needs
         # an unrolled loop; an explicit unroll_bounces=False can't be honored

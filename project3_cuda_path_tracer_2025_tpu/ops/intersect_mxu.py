@@ -1254,7 +1254,7 @@ def _binned_kernel(
         out_tri_ref[:] = jnp.full((RAY_TILE, 1), -1, jnp.int32)
 
 
-def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget):
+def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget, topk):
     """Packet (G-ray) candidate bins: which packets visit which tiles,
     laid out tile-major in GP-padded slot runs.
 
@@ -1320,13 +1320,13 @@ def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget):
     total = cum_end[-1]
     overflow = total > pair_budget
 
-    if 0 < BINNED_TOPK < ct:
+    if 0 < topk < ct:
         # Scatter-input reduction: XLA scatter cost scales with INPUT size
         # (n_g*ct for the dense layout), so compact each packet's candidate
         # row to its first K tiles before scattering (n_g*K inputs).  A
         # packet with more than K candidates sets overflow -> streamed
         # fallback, so the bins stay exact candidate supersets.
-        K = BINNED_TOPK
+        K = topk
         rowrank = jnp.cumsum(hg.astype(jnp.int32), axis=1) - hg.astype(
             jnp.int32
         )
@@ -1367,7 +1367,7 @@ def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget):
     return src, vt, overflow
 
 
-def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret):
+def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret, topk):
     """Packet-binned traversal over the (sorted live) prefix; bit-identical
     to the sweep by the candidate contract.  Returns (t, tri) [npre, 1]."""
     npre = rayf_p.shape[0]
@@ -1377,7 +1377,9 @@ def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret):
     ct = aabb_c.shape[0]
     pair_budget = n_g * min(BINNED_PAIR_MEAN, ct) + gp * ct
     pair_budget = ((pair_budget + gp - 1) // gp) * gp
-    src, vt, overflow = _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget)
+    src, vt, overflow = _packet_bins(
+        aabb_c, rayf_p, tlim_p, pair_budget, topk
+    )
 
     # Packet records in bin order: one [G*NUM_F]-wide row gather per slot
     # (+1 zero row for dead slots).
@@ -1451,7 +1453,7 @@ def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret):
     static_argnames=(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
-        "sort_mode", "streamed", "binned", "binned_tiers",
+        "sort_mode", "streamed", "binned", "binned_tiers", "binned_topk",
     ),
 )
 def _run(
@@ -1474,6 +1476,7 @@ def _run(
     streamed: bool = False,
     binned: bool = False,
     binned_tiers: tuple = None,
+    binned_topk: int = None,
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -1679,11 +1682,13 @@ def _run(
             )
         )
 
+        topk = binned_topk if binned_topk is not None else BINNED_TOPK
+
         def binned_at(npre):
             def branch(_):
                 t_p, tri_p, ovf = _run_binned(
                     rayf[:npre], features, tile_aabb, tlim[:npre],
-                    baby_eps, interpret,
+                    baby_eps, interpret, topk,
                 )
                 full_t = jnp.concatenate([t_p, tlim[npre:]], axis=0)
                 full_tri = jnp.concatenate(
@@ -1710,7 +1715,9 @@ def _run(
                 n_pad,
                 ((n_pad // div + RAY_TILE - 1) // RAY_TILE) * RAY_TILE,
             )
-            if npre not in npres:
+            # div > n_pad rounds to an empty prefix -- skip the degenerate
+            # 0-row branch (same guard as fused.tier_sizes).
+            if 0 < npre and npre not in npres:
                 npres.append(npre)
 
         chain = lambda _: run_streamed(rayf, features, tile_aabb, tlim)
@@ -1841,6 +1848,7 @@ def mesh_intersect_mxu(
     streamed: bool = False,
     binned: bool = False,
     binned_tiers: tuple = None,
+    binned_topk: int = None,
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -1866,6 +1874,7 @@ def mesh_intersect_mxu(
         streamed=streamed,
         binned=binned,
         binned_tiers=binned_tiers,
+        binned_topk=binned_topk,
     )
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)

@@ -114,15 +114,19 @@ def _parse_obj_uniform(path: str):
     with open(path, "r", errors="replace") as f:
         text = f.read()
     v_l, vt_l, vn_l, f_l = [], [], [], []
+    records_after_face = False
     for ln in text.split("\n"):
         if ln.startswith("v "):
             v_l.append(ln[2:])
+            records_after_face = records_after_face or bool(f_l)
         elif ln.startswith("f "):
             f_l.append(ln[2:].strip())
         elif ln.startswith("vn "):
             vn_l.append(ln[3:])
+            records_after_face = records_after_face or bool(f_l)
         elif ln.startswith("vt "):
             vt_l.append(ln[3:])
+            records_after_face = records_after_face or bool(f_l)
         elif ln.strip() and not ln.lstrip().startswith("#"):
             if ln.split(None, 1)[0] not in _IGNORED_TAGS:
                 return None
@@ -162,6 +166,13 @@ def _parse_obj_uniform(path: str):
     if arr.size != per_vert * 3 * nf:
         return None
     arr = arr.reshape(nf, 3, per_vert)
+    # Negative indices resolve against the RUNNING record count at the
+    # face's position (the general parser / OBJ spec semantics); the
+    # vectorized resolve below uses the FINAL count, which only agrees when
+    # no v/vt/vn record follows a face line.  Interleaved files with
+    # negative indices take the general parser.
+    if records_after_face and (arr < 0).any():
+        return None
 
     def resolve(idx, count):
         return np.where(idx > 0, idx - 1, count + idx)

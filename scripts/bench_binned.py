@@ -180,7 +180,10 @@ def profile(scn, res, depth, tier_div, k):
     g = m.BINNED_G
     gp = m.RAY_TILE // g
     n_g = npre // g
-    pair_budget = n_g * m.BINNED_PAIR_MEAN + gp * aabb_c.shape[0]
+    # Same budget formula as _run_binned (incl. the min(..., ct) clamp) so
+    # stage timings describe the production kernel.
+    ct = aabb_c.shape[0]
+    pair_budget = n_g * min(m.BINNED_PAIR_MEAN, ct) + gp * ct
     pair_budget = ((pair_budget + gp - 1) // gp) * gp
 
     def timeit(name, fn, *a):
@@ -199,7 +202,9 @@ def profile(scn, res, depth, tier_div, k):
 
     src, vt, ovf = timeit(
         "_packet_bins",
-        lambda rp, tp: m._packet_bins(aabb_c, rp, tp, pair_budget),
+        lambda rp, tp: m._packet_bins(
+            aabb_c, rp, tp, pair_budget, m.BINNED_TOPK
+        ),
         rayf_p, tlim_p,
     )
     print(
@@ -224,7 +229,7 @@ def profile(scn, res, depth, tier_div, k):
     timeit(
         "binned e2e (_run_binned)",
         lambda rp, tp: m._run_binned(
-            rp, feat, aabb_c, tp, cfg.baby_epsilon, interp
+            rp, feat, aabb_c, tp, cfg.baby_epsilon, interp, m.BINNED_TOPK
         ),
         rayf_p, tlim_p,
     )
@@ -237,8 +242,8 @@ def profile(scn, res, depth, tier_div, k):
         try:
             out = timeit(
                 f"G={G} topk={TK} e2e",
-                lambda rp, tp: m._run_binned(
-                    rp, feat, aabb_c, tp, cfg.baby_epsilon, interp
+                lambda rp, tp, TK=TK: m._run_binned(
+                    rp, feat, aabb_c, tp, cfg.baby_epsilon, interp, TK
                 ),
                 rayf_p, tlim_p,
             )

@@ -204,6 +204,29 @@ def test_fused_prim_textured_matches_unfused(repo_root):
     assert np.isfinite(b.image()).all() and b.image().mean() > 0.001
 
 
+def test_fused_tex_rolled_loop(repo_root):
+    """Regression: fused tex path + unroll_bounces=False (rolled fori_loop)
+    traced ``d > 0`` on the loop tracer and crashed at trace time.  With
+    the liveness sort inactive (no tiers -- the default) the resort flag
+    must short-circuit to a Python bool and the rolled loop must match the
+    unrolled one."""
+    import dataclasses
+
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_prim_textured.json")),
+        12, 12,
+    )
+    mesh.state.trace_depth = 3
+    base = RenderConfig(
+        mesh_intersector="mxu", ray_sorting="off", fused_bounce="on"
+    )
+    a = Renderer(mesh, base)
+    b = Renderer(mesh, dataclasses.replace(base, unroll_bounces=False))
+    a.step()
+    b.step()
+    np.testing.assert_allclose(a.image(), b.image(), atol=1e-6)
+
+
 def test_render_binned_traversal_matches_default(repo_root):
     """Full renders through mxu_traversal='binned' (fused mesh bounce) must
     be bit-identical to the default traversal -- the per-ray candidate

@@ -375,7 +375,10 @@ def test_mxu_binned_matches_sweep_bitexact():
 
     # (tiers, live_frac, sort): single-tier engaged, single-tier liveness
     # fallback, and the multi-tier chain (a mid tier engages at 0.4, the
-    # full-prefix tier at 0.9 sorted and unsorted).
+    # full-prefix tier at 0.9 sorted and unsorted).  Tiers go through the
+    # EXPLICIT static arg (binned_tiers): monkey-patching the module
+    # default would be defeated by _run's jit cache (same avals + same
+    # static args reuse the first trace).
     cases = (
         ((4,), 0.15, True),
         ((4,), 0.9, True),
@@ -383,28 +386,23 @@ def test_mxu_binned_matches_sweep_bitexact():
         ((4, 2, 1), 0.9, True),
         ((4, 2, 1), 0.9, False),
     )
-    saved = _m.BINNED_PREFIX_TIERS
-    try:
-        for tiers, live_frac, sort in cases:
-            _m.BINNED_PREFIX_TIERS = tiers
-            active = jnp.asarray(rng.random(n) < live_frac)
-            sweep = mesh_intersect_mxu(
-                dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
-                ro, rd, active, lim, sort_rays=sort, planned=False, **kw,
-            )
-            binned = mesh_intersect_mxu(
-                dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
-                ro, rd, active, lim, sort_rays=sort, planned=True,
-                streamed=True, binned=True, **kw,
-            )
-            np.testing.assert_array_equal(
-                np.asarray(binned.tri), np.asarray(sweep.tri)
-            )
-            np.testing.assert_array_equal(
-                np.asarray(binned.t), np.asarray(sweep.t)
-            )
-    finally:
-        _m.BINNED_PREFIX_TIERS = saved
+    for tiers, live_frac, sort in cases:
+        active = jnp.asarray(rng.random(n) < live_frac)
+        sweep = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=False, **kw,
+        )
+        binned = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=True,
+            streamed=True, binned=True, binned_tiers=tiers, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(binned.tri), np.asarray(sweep.tri)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(binned.t), np.asarray(sweep.t)
+        )
 
     # Top-K bin construction (scatter-input compaction): same contract,
     # needs a multi-tile mesh so K < Ct actually engages, plus the
@@ -412,32 +410,27 @@ def test_mxu_binned_matches_sweep_bitexact():
     scene3 = _random_mesh_scene(rng, n_tris=2500)
     dev3, static3 = build_device_scene(scene3)
     active = jnp.asarray(rng.random(n) < 0.9)
-    saved_k = _m.BINNED_TOPK
-    try:
-        sweep = mesh_intersect_mxu(
-            dev3.mxu_mesh, static3.num_triangles, static3.mxu_padded_tris,
-            ro, rd, active, lim, sort_rays=True, planned=False,
+    sweep = mesh_intersect_mxu(
+        dev3.mxu_mesh, static3.num_triangles, static3.mxu_padded_tris,
+        ro, rd, active, lim, sort_rays=True, planned=False,
+        baby_eps=CFG.baby_epsilon, interpret=True,
+        mesh_bounds=static3.mesh_bounds,
+    )
+    for k in (2, 1):
+        binned = mesh_intersect_mxu(
+            dev3.mxu_mesh, static3.num_triangles,
+            static3.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=True, planned=True,
+            streamed=True, binned=True, binned_topk=k,
             baby_eps=CFG.baby_epsilon, interpret=True,
             mesh_bounds=static3.mesh_bounds,
         )
-        for k in (2, 1):
-            _m.BINNED_TOPK = k
-            binned = mesh_intersect_mxu(
-                dev3.mxu_mesh, static3.num_triangles,
-                static3.mxu_padded_tris,
-                ro, rd, active, lim, sort_rays=True, planned=True,
-                streamed=True, binned=True,
-                baby_eps=CFG.baby_epsilon, interpret=True,
-                mesh_bounds=static3.mesh_bounds,
-            )
-            np.testing.assert_array_equal(
-                np.asarray(binned.tri), np.asarray(sweep.tri)
-            )
-            np.testing.assert_array_equal(
-                np.asarray(binned.t), np.asarray(sweep.t)
-            )
-    finally:
-        _m.BINNED_TOPK = saved_k
+        np.testing.assert_array_equal(
+            np.asarray(binned.tri), np.asarray(sweep.tri)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(binned.t), np.asarray(sweep.t)
+        )
 
     # Engaged top-K construction must reproduce the dense scatter's bins
     # exactly (same src and visit tables) when no packet overflows K.
@@ -479,25 +472,22 @@ def test_mxu_binned_matches_sweep_bitexact():
     g = _m.BINNED_G
     gp = _m.RAY_TILE // g
     n_g = n_pad // g
-    budget = ((n_g * _m.BINNED_PAIR_MEAN + gp * ct + gp - 1) // gp) * gp
+    budget = (
+        (n_g * min(_m.BINNED_PAIR_MEAN, ct) + gp * ct + gp - 1) // gp
+    ) * gp
     aabb = dev20.mxu_mesh.tile_aabb
-    try:
-        _m.BINNED_TOPK = 0
-        src_d, vt_d, ovf_d = _m._packet_bins(aabb, rayf, tlimp, budget)
-        assert not bool(np.asarray(ovf_d))
-        engaged = False
-        for k in range(ct - 1, 0, -1):
-            _m.BINNED_TOPK = k
-            src_k, vt_k, ovf_k = _m._packet_bins(aabb, rayf, tlimp, budget)
-            if bool(np.asarray(ovf_k)):
-                break
-            engaged = True
-            np.testing.assert_array_equal(
-                np.asarray(src_k), np.asarray(src_d)
-            )
-            np.testing.assert_array_equal(
-                np.asarray(vt_k), np.asarray(vt_d)
-            )
-        assert engaged, "no K < Ct engaged without overflow"
-    finally:
-        _m.BINNED_TOPK = saved_k
+    src_d, vt_d, ovf_d = _m._packet_bins(aabb, rayf, tlimp, budget, 0)
+    assert not bool(np.asarray(ovf_d))
+    engaged = False
+    for k in range(ct - 1, 0, -1):
+        src_k, vt_k, ovf_k = _m._packet_bins(aabb, rayf, tlimp, budget, k)
+        if bool(np.asarray(ovf_k)):
+            break
+        engaged = True
+        np.testing.assert_array_equal(
+            np.asarray(src_k), np.asarray(src_d)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(vt_k), np.asarray(vt_d)
+        )
+    assert engaged, "no K < Ct engaged without overflow"

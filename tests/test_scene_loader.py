@@ -212,6 +212,12 @@ def test_obj_fast_path_matches_general(tmp_path, repo_root):
             "# header\no thing\ng grp\ns off\nusemtl none\n"
             "v 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2 3\n"
         ),
+        # POSITIVE indices interleaved with faces stay on the fast path
+        # (absolute indices are order-independent).
+        "interleaved_pos.obj": (
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2 3\n"
+            "v 2 0 0\nv 3 0 0\nv 3 1 0\nf 4 5 6\n"
+        ),
     }
     for name, text in layouts.items():
         p = tmp_path / name
@@ -234,11 +240,34 @@ def test_obj_fast_path_matches_general(tmp_path, repo_root):
         ),
         "wcoord.obj": "v 0 0 0 1\nv 1 0 0 1\nv 1 1 0 1\nf 1 2 3\n",
         "curve.obj": "v 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2 3\ncurv 0 1 1 2\n",
+        # NEGATIVE indices resolve against the RUNNING vertex count at the
+        # face's position (OBJ spec / general parser); the vectorized
+        # resolve uses the final count, so interleaved+negative must
+        # decline -- accepting it would bind the first face to the LAST
+        # three vertices.
+        "interleaved_neg.obj": (
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nf -3 -2 -1\n"
+            "v 2 0 0\nv 3 0 0\nv 3 1 0\nf -3 -2 -1\n"
+        ),
     }
     for name, text in declines.items():
         p = tmp_path / name
         p.write_text(text)
         assert O._parse_obj_uniform(str(p)) is None, name
+
+    # And the general parser must give the interleaved-negative file its
+    # spec semantics: the FIRST face binds to the FIRST three vertices.
+    got = O.load_obj_triangles(
+        str(tmp_path / "interleaved_neg.obj"), 2, np.eye(4), np.eye(4)
+    )
+    np.testing.assert_allclose(
+        got["tri_positions"][0],
+        np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0]], np.float32),
+    )
+    np.testing.assert_allclose(
+        got["tri_positions"][1],
+        np.array([[2, 0, 0], [3, 0, 0], [3, 1, 0]], np.float32),
+    )
 
 
 def test_multi_obj_scene(tmp_path):
