@@ -182,3 +182,58 @@ def test_cook_torrance_finite_and_hemispherical():
     pdf = np.asarray(s.pdf)
     mult = np.where(pdf > 0, np.asarray(s.f.x) * cos / np.where(pdf > 0, pdf, 1), 1.0)
     assert np.isfinite(mult).all()
+
+
+def test_white_furnace():
+    """White-furnace energy test (SURVEY.md section 4): with albedo 1 the
+    per-scatter throughput multiplier must never exceed 1 in expectation.
+    Diffuse and the specular lobes are exactly 1 per sample by
+    construction (f*cos/pdf == albedo, or f == albedo); Cook-Torrance is a
+    single-scattering GGX model, so its furnace estimate sits BELOW 1
+    (energy lost to masking, more with roughness) but must not gain."""
+    n = 400_000
+    white = _const_vec(n, 1.0, 1.0, 1.0)
+    normal = Vec3.full((n,), 0.0, 0.0, 1.0)
+
+    # Diffuse: multiplier exactly 1 per sample.
+    u = _unis(11, 2, n)
+    s = bsdf.sample_f_diffuse(white, normal, u[0], u[1])
+    cos = np.maximum(0, np.asarray(vec.dot(normal, s.wi)))
+    mult = np.asarray(s.f.x) * cos / np.asarray(s.pdf)
+    np.testing.assert_allclose(mult, 1.0, atol=2e-4)
+
+    # Speculars: throughput multiplies by albedo == 1 (reference semantics).
+    wo = vec.normalize(_const_vec(n, 0.4, 0.1, -0.9))
+    np.testing.assert_array_equal(
+        np.asarray(bsdf.sample_f_specular_reflection(white, normal, wo).f.x),
+        1.0,
+    )
+    u = _unis(12, 1, n)
+    np.testing.assert_array_equal(
+        np.asarray(
+            bsdf.sample_f_glass(white, normal, wo, 1.5, u[0], 1e-5).f.x
+        ),
+        1.0,
+    )
+
+    # Cook-Torrance: Monte-Carlo furnace estimate E[f*cos/pdf] with the
+    # integrator's pdf>0 guard; single-scatter GGX must be <= 1 and not
+    # collapse (the reference's own lobe weighting keeps it near 1 at low
+    # roughness, sliding down as masking grows).
+    wo_world = vec.normalize(_const_vec(n, 0.5, 0.0, 0.866))  # 30 deg
+    # Measured single-scatter furnace values: 0.986 / 0.863 / 0.448 --
+    # the floors sit under them with MC-noise margin.
+    for roughness, lo in ((0.1, 0.9), (0.3, 0.8), (0.8, 0.4)):
+        u = _unis(int(roughness * 100), 3, n)
+        s = bsdf.sample_f_cook_torrance(
+            white, normal, wo_world, roughness, 1.0, u[0], u[1], u[2]
+        )
+        cos = np.maximum(0, np.asarray(vec.dot(normal, s.wi)))
+        pdf = np.asarray(s.pdf)
+        w = np.where(
+            pdf > 0, np.asarray(s.f.x) * cos / np.where(pdf > 0, pdf, 1), 0.0
+        )
+        assert np.isfinite(w).all()
+        est = w.mean()
+        assert est <= 1.02, f"roughness {roughness}: furnace gain {est:.3f}"
+        assert est >= lo, f"roughness {roughness}: furnace {est:.3f} < {lo}"
