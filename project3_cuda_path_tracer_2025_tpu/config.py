@@ -188,6 +188,19 @@ class RenderConfig:
             v = getattr(self, f)
             if not isinstance(v, tuple):
                 object.__setattr__(self, f, tuple(v))
+        # stream_compaction is bool | "adaptive", but sibling toggles use
+        # "on"/"off" strings -- normalize those rather than letting a
+        # truthy "off" silently ENABLE compaction, and reject the rest.
+        sc = self.stream_compaction
+        if isinstance(sc, str) and sc != "adaptive":
+            if sc in ("on", "true", "1"):
+                object.__setattr__(self, "stream_compaction", True)
+            elif sc in ("off", "false", "0"):
+                object.__setattr__(self, "stream_compaction", False)
+            else:
+                raise ValueError(
+                    f"stream_compaction={sc!r}: use True/False/'adaptive'"
+                )
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

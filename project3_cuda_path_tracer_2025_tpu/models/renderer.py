@@ -81,6 +81,23 @@ class Renderer:
 
         self._build_step()
 
+    @property
+    def _alive_counts(self):
+        """Per-depth alive-ray telemetry of the last dispatch.
+
+        Stored raw (possibly a device array) and fetched to host lazily on
+        first read, so ``step_many(sync=False)`` enqueues without paying
+        the tunnel roundtrip for a [depth]-int fetch per batch."""
+        raw = self._alive_raw
+        if not isinstance(raw, np.ndarray):
+            raw = np.asarray(raw)
+            self._alive_raw = raw
+        return raw
+
+    @_alive_counts.setter
+    def _alive_counts(self, value):
+        self._alive_raw = value
+
     def _new_film(self) -> Vec3:
         if self._mesh is not None:
             from ..parallel import shardmap
@@ -252,7 +269,12 @@ class Renderer:
         once at the end (``device_sync``) -- per-call wall stats are then
         enqueue times, not compute times."""
         stride = self._spp_stride
-        n_disp = max(1, k // stride)  # k is in spp; each dispatch = stride spp
+        # k is in spp; each dispatch advances stride spp (sample-parallel
+        # traces one spp PER CHIP).  Round UP: sample-parallel can't trace
+        # fewer than a stride, and truncating would silently deliver fewer
+        # spp than requested -- callers track self.iteration, which always
+        # reflects what actually ran.
+        n_disp = max(1, -(-k // stride))
         if n_disp == 1:
             self.step()
             return
@@ -270,7 +292,9 @@ class Renderer:
         for _ in range(spp_done):
             self.stats.add(dt_ms)
         self.iteration += spp_done
-        self._alive_counts = np.asarray(alive)
+        # Raw device array -- fetched lazily on first telemetry read, so a
+        # sync=False call enqueues without a host roundtrip.
+        self._alive_counts = alive
 
     def render(
         self,

@@ -85,7 +85,7 @@ def wavefront_iteration(
 
             if cfg.material_sorting:
                 head, isect = sort_paths_by_material(
-                    head, isect, static.num_materials
+                    head, isect, static.num_materials, max_id=n_global
                 )
 
             # Per-pixel RNG evaluated elementwise at each slot's pixel id: a
@@ -106,12 +106,12 @@ def wavefront_iteration(
                 hl = jnp.sum(head.alive.astype(jnp.int32))
                 head = jax.lax.cond(
                     2 * hl < hn,
-                    lambda p: compact_paths(p)[0],
+                    lambda p: compact_paths(p, max_id=n_global)[0],
                     lambda p: p,
                     head,
                 )
             elif cfg.stream_compaction:
-                head = compact_paths(head)[0]
+                head = compact_paths(head, max_id=n_global)[0]
             return head
 
         if npres:

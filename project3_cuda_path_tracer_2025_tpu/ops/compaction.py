@@ -27,19 +27,33 @@ from . import scan as scan_ops
 from .rays import Intersections, PathState
 
 
-def _apply_permutation(paths: PathState, perm: jnp.ndarray) -> PathState:
-    """One packed [N, 11] f32 row gather instead of 11 separate [N] gathers
-    (TPU gathers pay per launch, not per element at these row widths; the
-    same packing carries the fused mesh path's persistent sort).  Small ints
-    ride as VALUE-cast f32 -- exact below 2**24 lanes; past that they fall
-    back to their own i32 gathers."""
+def permute_path_state(
+    paths: PathState,
+    perm: jnp.ndarray,
+    extra: tuple = (),
+    max_id: int = None,
+):
+    """Apply ``perm`` to the whole path state with ONE packed [N, 9+E+2]
+    f32 row gather instead of that many separate [N] gathers (TPU gathers
+    pay per launch, not per element at these row widths).  ``extra`` f32
+    columns (e.g. the fused mesh path's t_lim) ride in the same gather and
+    are returned permuted.  Small ints ride as VALUE-cast f32 -- exact
+    below 2**24 (bitcasting would make denormals, which TPU float paths
+    flush to 0) -- where the bound is on the int VALUES: ``max_id`` must
+    be the global pixel count under shard_map (the local slice holds
+    GLOBAL pixel ids); past it the ints take their own i32 row gather.
+
+    Returns ``(paths, extras)`` with ``extras`` a tuple matching ``extra``.
+    """
     n = paths.pixel.shape[0]
-    ints_fit = n < (1 << 24)
+    ints_fit = max(n, max_id or 0) < (1 << 24)
     cols = [
         paths.origin.x, paths.origin.y, paths.origin.z,
         paths.direction.x, paths.direction.y, paths.direction.z,
         paths.color.x, paths.color.y, paths.color.z,
+        *extra,
     ]
+    k = 9 + len(extra)
     if ints_fit:
         cols += [
             paths.pixel.astype(jnp.float32),
@@ -47,18 +61,25 @@ def _apply_permutation(paths: PathState, perm: jnp.ndarray) -> PathState:
         ]
     m = jnp.stack(cols, axis=1)[perm]
     if ints_fit:
-        pixel = m[:, 9].astype(jnp.int32)
-        bounces = m[:, 10].astype(jnp.int32)
+        pixel = m[:, k].astype(jnp.int32)
+        bounces = m[:, k + 1].astype(jnp.int32)
     else:
-        pixel = paths.pixel[perm]
-        bounces = paths.bounces[perm]
-    return PathState(
+        mi = jnp.stack([paths.pixel, paths.bounces], axis=1)[perm]
+        pixel, bounces = mi[:, 0], mi[:, 1]
+    out = PathState(
         origin=Vec3(m[:, 0], m[:, 1], m[:, 2]),
         direction=Vec3(m[:, 3], m[:, 4], m[:, 5]),
         color=Vec3(m[:, 6], m[:, 7], m[:, 8]),
         pixel=pixel,
         bounces=bounces,
     )
+    return out, tuple(m[:, 9 + i] for i in range(len(extra)))
+
+
+def _apply_permutation(
+    paths: PathState, perm: jnp.ndarray, max_id: int = None
+) -> PathState:
+    return permute_path_state(paths, perm, max_id=max_id)[0]
 
 
 def _apply_permutation_isect(isect: Intersections, perm: jnp.ndarray) -> Intersections:
@@ -98,15 +119,20 @@ def front_pack_permutation(alive: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     return perm, live_count
 
 
-def compact_paths(paths: PathState) -> Tuple[PathState, jnp.ndarray]:
+def compact_paths(
+    paths: PathState, max_id: int = None
+) -> Tuple[PathState, jnp.ndarray]:
     """thrust::stable_partition(PathAlive) equivalent (permutes, never
     drops -- finalGather still reads all N slots)."""
     perm, live = front_pack_permutation(paths.alive)
-    return _apply_permutation(paths, perm), live
+    return _apply_permutation(paths, perm, max_id=max_id), live
 
 
 def sort_paths_by_material(
-    paths: PathState, isect: Intersections, num_materials: int
+    paths: PathState,
+    isect: Intersections,
+    num_materials: int,
+    max_id: int = None,
 ) -> Tuple[PathState, Intersections]:
     """thrust::stable_sort_by_key(CompareMat) equivalent: stable sort of
     (intersections, paths) by material id.  Missed/terminated rays keep the
@@ -115,4 +141,7 @@ def sort_paths_by_material(
     intersection holds -- here 0 for misses, matching the memset)."""
     key = isect.material_id
     order = jnp.argsort(key, stable=True)
-    return _apply_permutation(paths, order), _apply_permutation_isect(isect, order)
+    return (
+        _apply_permutation(paths, order, max_id=max_id),
+        _apply_permutation_isect(isect, order),
+    )

@@ -434,7 +434,7 @@ def fused_tex_bounce(
 
     def body(head):
         if sort_rays and resort:
-            head = _liveness_pack(head)
+            head = _liveness_pack(head, max_id=rng_n)
         return _fused_tex_bounce_at(
             dev, static, cfg, head, su_key, interpret, rng_n
         )
@@ -444,13 +444,13 @@ def fused_tex_bounce(
     return run_tiered(paths, npres, body)
 
 
-def _liveness_pack(paths: PathState) -> PathState:
+def _liveness_pack(paths: PathState, max_id=None) -> PathState:
     """Stable alive-first permutation of the whole path state (one packed
     row gather; pixel order preserved within the alive / dead classes)."""
     n = paths.pixel.shape[0]
     perm = jnp.argsort(jnp.where(paths.alive, 0, 1).astype(jnp.int32))
     paths, _ = _permute_bounce_state(
-        paths, jnp.zeros((n,), jnp.float32), perm
+        paths, jnp.zeros((n,), jnp.float32), perm, max_id=max_id
     )
     return paths
 
@@ -482,40 +482,18 @@ def _fused_tex_bounce_at(
     )
 
 
-def _permute_bounce_state(paths, t_lim, perm):
-    """Apply a sort permutation to the whole path state with ONE packed
-    [N, 12] f32 row gather -- far faster than 12 separate [N] gathers on
-    TPU.  Small ints ride as VALUE-cast f32 (exact below 2**24; bitcasting
-    would make denormals, which TPU float paths flush to 0); above that the
-    ints take a separate i32 row gather."""
-    n = paths.pixel.shape[0]
-    cols = [
-        paths.origin.x, paths.origin.y, paths.origin.z,
-        paths.direction.x, paths.direction.y, paths.direction.z,
-        paths.color.x, paths.color.y, paths.color.z,
-        t_lim,
-    ]
-    ints_fit = n < (1 << 24)
-    if ints_fit:
-        cols += [
-            paths.pixel.astype(jnp.float32),
-            paths.bounces.astype(jnp.float32),
-        ]
-    m = jnp.stack(cols, axis=1)[perm]
-    if ints_fit:
-        pixel = m[:, 10].astype(jnp.int32)
-        bounces = m[:, 11].astype(jnp.int32)
-    else:
-        mi = jnp.stack([paths.pixel, paths.bounces], axis=1)[perm]
-        pixel, bounces = mi[:, 0], mi[:, 1]
-    paths = PathState(
-        origin=Vec3(m[:, 0], m[:, 1], m[:, 2]),
-        direction=Vec3(m[:, 3], m[:, 4], m[:, 5]),
-        color=Vec3(m[:, 6], m[:, 7], m[:, 8]),
-        pixel=pixel,
-        bounces=bounces,
+def _permute_bounce_state(paths, t_lim, perm, max_id=None):
+    """One packed [N, 12] row gather for the persistent sort: the shared
+    packed-permute (``ops.compaction.permute_path_state``) with t_lim
+    riding as the extra f32 column -- exactly the wavefront compaction's
+    gather plus one column, so the subtle int-ride-along rules live in one
+    place."""
+    from .compaction import permute_path_state
+
+    paths, (t_lim,) = permute_path_state(
+        paths, perm, extra=(t_lim,), max_id=max_id
     )
-    return paths, m[:, 9]
+    return paths, t_lim
 
 
 def fused_mesh_bounce(
@@ -633,7 +611,7 @@ def _fused_mesh_bounce_at(
             dev.mxu_mesh, paths.origin, paths.direction, paths.alive,
             t_lim, cfg.ray_sort_bits, cfg.ray_sort_dir_bits, mode=mode,
         )
-        paths, t_lim = _permute_bounce_state(paths, t_lim, perm)
+        paths, t_lim = _permute_bounce_state(paths, t_lim, perm, max_id=rng_n)
     if su_key is not None:
         # Per-pixel RNG evaluated IN PLACE at each slot's pixel id (a slot's
         # random stream follows its PIXEL, so any permutation history is

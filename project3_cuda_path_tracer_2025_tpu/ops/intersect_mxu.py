@@ -793,6 +793,60 @@ def _plan_with_prefix(aabb_c, rayf_c, tlim_c):
     return out(None)
 
 
+def _walk_quad_epilogue(
+    rayf, feat_block, baby_eps, lane, tile_id, t_lo, t_hi, best_t, best_tri
+):
+    """Shared Moller-Trumbore quad epilogue of the ordered walks
+    (planned/streamed): evaluate ONE feature tile against the block and
+    fold in winners under the strict-improvement / lowest-triangle-id
+    rule.  One definition keeps the cross-traversal bit-identity contract
+    in one place (the sweep kernel's epilogue is deliberately separate:
+    its ascending visit order lets it skip the tie bookkeeping)."""
+    quad = jnp.dot(rayf, feat_block, preferred_element_type=jnp.float32)
+    det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+    u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+    v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+    t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+    det_ok = jnp.abs(det) >= baby_eps
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    tt = t_num * inv_det
+    s = jnp.where(det < 0.0, -1.0, 1.0)
+    us = u_num * s
+    vs = v_num * s
+    da = det * s
+    hit = (
+        det_ok
+        & (us >= 0.0)
+        & (vs >= 0.0)
+        & (us + vs <= da)
+        & (tt >= t_lo)
+        & (tt <= t_hi)
+    )
+    ttm = jnp.where(hit, tt, jnp.inf)
+    row_min = jnp.min(ttm, axis=1, keepdims=True)
+    better = row_min < best_t
+    tie = row_min == best_t
+
+    def update(args):
+        best_t, best_tri = args
+        lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
+        kbest = jnp.min(lane_masked, axis=1, keepdims=True)
+        cand = tile_id * TRI_TILE + kbest
+        new_tri = jnp.where(
+            better,
+            cand,
+            jnp.where(tie, jnp.minimum(best_tri, cand), best_tri),
+        )
+        return jnp.where(better, row_min, best_t), new_tri
+
+    # argmin bookkeeping (2 more full-width passes) only when some ray
+    # actually improved or tied
+    return jax.lax.cond(
+        jnp.any(better | (tie & (row_min < jnp.inf))),
+        update, lambda a: a, (best_t, best_tri),
+    )
+
+
 def _planned_kernel(
     baby_eps: float,
     ct: int,
@@ -860,8 +914,12 @@ def _planned_kernel(
             # max); mid-walk, a tile can be skippable for every ray (its
             # members already hold closer hits).  <=: exact ties must be
             # evaluated (lowest-id rule).  Skipping is exact: a member's
-            # candidate t is >= its own widened tlo.
-            improvable = jnp.any(member & (s_tlo <= best_t))
+            # candidate t is >= its own widened tlo.  Dead/root-culled
+            # rays MUST be masked: their zeroed features slab-pass every
+            # tile with s_tlo ~ -1e20 against an untouched (huge) t_limit,
+            # which would make every mixed live/dead block unskippable --
+            # and they cannot hit anyway (zero features give det = 0).
+            improvable = jnp.any(live_col & member & (s_tlo <= best_t))
 
             def quad_epilogue(args):
                 best_t, best_tri = args
@@ -869,50 +927,9 @@ def _planned_kernel(
                     pl.multiple_of(tile_id * (4 * TRI_TILE), 4 * TRI_TILE),
                     4 * TRI_TILE,
                 )
-                quad = jnp.dot(
-                    rayf, feat_ref[:, cols], preferred_element_type=jnp.float32
-                )
-                det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
-                u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
-                v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
-                t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-                det_ok = jnp.abs(det) >= baby_eps
-                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-                tt = t_num * inv_det
-                s = jnp.where(det < 0.0, -1.0, 1.0)
-                us = u_num * s
-                vs = v_num * s
-                da = det * s
-                hit = (
-                    det_ok
-                    & (us >= 0.0)
-                    & (vs >= 0.0)
-                    & (us + vs <= da)
-                    & (tt >= t_lo)
-                    & (tt <= t_hi)
-                )
-                ttm = jnp.where(hit, tt, jnp.inf)
-                row_min = jnp.min(ttm, axis=1, keepdims=True)
-                better = row_min < best_t
-                tie = row_min == best_t
-
-                def update(args):
-                    best_t, best_tri = args
-                    lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
-                    kbest = jnp.min(lane_masked, axis=1, keepdims=True)
-                    cand = tile_id * TRI_TILE + kbest
-                    new_tri = jnp.where(
-                        better,
-                        cand,
-                        jnp.where(tie, jnp.minimum(best_tri, cand), best_tri),
-                    )
-                    return jnp.where(better, row_min, best_t), new_tri
-
-                # argmin bookkeeping (2 more full-width passes) only when
-                # some ray actually improved or tied
-                return jax.lax.cond(
-                    jnp.any(better | (tie & (row_min < jnp.inf))),
-                    update, lambda a: a, (best_t, best_tri),
+                return _walk_quad_epilogue(
+                    rayf, feat_ref[:, cols], baby_eps, lane, tile_id,
+                    t_lo, t_hi, best_t, best_tri,
                 )
 
             return jax.lax.cond(
@@ -1028,56 +1045,17 @@ def _streamed_kernel(
                     member, jnp.maximum(s_tlo, eps_succ), jnp.inf
                 )
                 t_hi = jnp.where(member, s_thi, -jnp.inf)
-                # Mid-walk improvability gate (see _planned_kernel); the
-                # tile's DMA is already drained either way.
-                improvable = jnp.any(member & (s_tlo <= best_t))
+                # Mid-walk improvability gate (see _planned_kernel --
+                # incl. the live mask: zero-feature rays slab-pass every
+                # tile and would defeat the gate); the tile's DMA is
+                # already drained either way.
+                improvable = jnp.any(live_col & member & (s_tlo <= best_t))
 
                 def quad_epilogue(args):
                     best_t, best_tri = args
-                    quad = jnp.dot(
-                        rayf, buf[slot], preferred_element_type=jnp.float32
-                    )
-                    det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
-                    u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
-                    v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
-                    t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-                    det_ok = jnp.abs(det) >= baby_eps
-                    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-                    tt = t_num * inv_det
-                    s = jnp.where(det < 0.0, -1.0, 1.0)
-                    us = u_num * s
-                    vs = v_num * s
-                    da = det * s
-                    hit = (
-                        det_ok
-                        & (us >= 0.0)
-                        & (vs >= 0.0)
-                        & (us + vs <= da)
-                        & (tt >= t_lo)
-                        & (tt <= t_hi)
-                    )
-                    ttm = jnp.where(hit, tt, jnp.inf)
-                    row_min = jnp.min(ttm, axis=1, keepdims=True)
-                    better = row_min < best_t
-                    tie = row_min == best_t
-
-                    def update(args):
-                        best_t, best_tri = args
-                        lane_masked = jnp.where(ttm <= row_min, lane, TRI_TILE)
-                        kbest = jnp.min(lane_masked, axis=1, keepdims=True)
-                        cand = tile_id * TRI_TILE + kbest
-                        new_tri = jnp.where(
-                            better,
-                            cand,
-                            jnp.where(
-                                tie, jnp.minimum(best_tri, cand), best_tri
-                            ),
-                        )
-                        return jnp.where(better, row_min, best_t), new_tri
-
-                    return jax.lax.cond(
-                        jnp.any(better | (tie & (row_min < jnp.inf))),
-                        update, lambda a: a, (best_t, best_tri),
+                    return _walk_quad_epilogue(
+                        rayf, buf[slot], baby_eps, lane, tile_id,
+                        t_lo, t_hi, best_t, best_tri,
                     )
 
                 return jax.lax.cond(
@@ -1657,18 +1635,22 @@ def _run(
             interpret=interpret,
         )(rayf_c, tlim_c, feat_c, aabb_c, gaabb_c)
 
-    # Scalar-prefetch plans live in SMEM (~1 MB): at very large ray counts
-    # or tile counts the [NB*Ct] id+tlo arrays overflow it (observed at
-    # RAY_TILE=128 on the 80k mesh) -- fall back to the sweep kernel.
-    nb_blocks = n_pad // RAY_TILE
-    ct_per_call = min(padded_tris, chunk_tris) // TRI_TILE
-    if planned and nb_blocks * max(1, ct_per_call) * 8 > 700_000:
-        planned = False
+    # Capacity fallbacks FIRST (they may re-enable planned), THEN the SMEM
+    # budget guard: the streamed plan holds at most 1024 tiles (~1M tris);
+    # beyond it the chunked planned chain takes over -- but that chain's
+    # per-chunk [NB*Ct] id+tlo scalar-prefetch operands must still respect
+    # the ~1 MB SMEM budget (observed overflow at RAY_TILE=128 on the 80k
+    # mesh), so the budget check runs AFTER any fallback rewrites planned.
     if streamed and padded_tris // TRI_TILE > 8 * 128:
-        # plan capacity is 1024 tiles (~1M tris); beyond it, chunked chain
         streamed, planned = False, True
     if binned and padded_tris // TRI_TILE > 8 * 128:
         binned = False  # needs the streamed fallback's plan capacity
+    nb_blocks = n_pad // RAY_TILE
+    ct_per_call = min(padded_tris, chunk_tris) // TRI_TILE
+    if planned and not streamed and (
+        nb_blocks * max(1, ct_per_call) * 8 > 700_000
+    ):
+        planned = False
 
     if binned:
         # Packet-binned traversal over the sorted live prefix; the

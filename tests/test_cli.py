@@ -67,3 +67,19 @@ def test_end_to_end_render(tmp_path, scenes_dir, capsys):
     img = image_io.read_png(str(pngs[0]))
     assert img.shape == (16, 16, 3)
     assert img.max() > 0
+
+
+def test_render_config_stream_compaction_normalization():
+    """String toggles: sibling fields use 'on'/'off', so RenderConfig must
+    normalize them for stream_compaction rather than let a truthy 'off'
+    silently ENABLE compaction (inverting any A/B built on it)."""
+    from project3_cuda_path_tracer_2025_tpu.config import RenderConfig
+
+    assert RenderConfig(stream_compaction="off").stream_compaction is False
+    assert RenderConfig(stream_compaction="on").stream_compaction is True
+    assert (
+        RenderConfig(stream_compaction="adaptive").stream_compaction
+        == "adaptive"
+    )
+    with pytest.raises(ValueError):
+        RenderConfig(stream_compaction="maybe")
