@@ -80,10 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="MXU intersector traversal (bit-identical results; see config)",
     )
     p.add_argument(
-        "--bounce-prefix-tiers", default="",
+        "--bounce-prefix-tiers", default="auto",
         help="comma-separated ray-count divisors (e.g. '4,2'): run each "
-        "fused mesh / textured-prim bounce over the smallest alive-prefix "
-        "tier (bit-identical; requires ray sorting)",
+        "fused mesh / textured-prim / wavefront bounce over the smallest "
+        "alive-prefix tier (bit-identical; requires ray sorting). "
+        "'auto' (default) = 4,2 on accelerators, off on CPU; 'off' disables",
     )
     p.add_argument(
         "--fused-bounce",
@@ -151,7 +152,7 @@ def main(argv=None) -> int:
     compaction = (
         {"on": True, "off": False, "adaptive": "adaptive"}[args.compaction]
         if args.compaction is not None
-        else not args.no_compaction
+        else (False if args.no_compaction else "adaptive")
     )
     cfg = RenderConfig(
         integrator=args.integrator,
@@ -163,8 +164,14 @@ def main(argv=None) -> int:
         mesh_intersector=args.mesh_intersector,
         ray_sorting=args.ray_sorting,
         mxu_traversal=args.mxu_traversal,
-        bounce_prefix_tiers=tuple(
-            int(s) for s in args.bounce_prefix_tiers.split(",") if s.strip()
+        bounce_prefix_tiers=(
+            "auto"
+            if args.bounce_prefix_tiers == "auto"
+            else tuple(
+                int(s)
+                for s in args.bounce_prefix_tiers.replace("off", "").split(",")
+                if s.strip()
+            )
         ),
         fused_bounce=args.fused_bounce,
         spp_per_launch=args.spp_per_launch,

@@ -39,8 +39,10 @@ class RenderConfig:
     # mostly-live bounces costs a permutation (measured 7.3 of the 9.4
     # ms/bounce on cornell) and buys nothing; the reference's SIMT GPU, by
     # contrast, profits from fewer threads.  Wavefront profiling:
-    # scripts/profile_wavefront.py.
-    stream_compaction: "bool | str" = True
+    # scripts/profile_wavefront.py.  Default is "adaptive" (the measured
+    # winner: 32.4 vs 82.4 ms with tiers, PARITY.md); True/False remain
+    # as the reference's parity toggles.
+    stream_compaction: "bool | str" = "adaptive"
     material_sorting: bool = False
     bvh_acceleration: bool = True
 
@@ -148,8 +150,13 @@ class RenderConfig:
     # textured-PRIM fused path (fused_tex_bounce), where it adds a stable
     # liveness-packing sort so the tiers have a prefix to slice, and the
     # WAVEFRONT integrator (gated on stream compaction, whose front-pack
-    # provides the prefix there).
-    bounce_prefix_tiers: tuple = ()
+    # provides the prefix there).  "auto" (the default) resolves to (4, 2)
+    # on accelerators -- the measured winner on every TPU scene (PARITY.md
+    # round-3 campaign table) -- and () on CPU, where the lax.cond tier
+    # chain only multiplies compile time.  The binned MXU traversal ignores
+    # bounce tiers (it tiers internally via mxu_binned_tiers; composing
+    # both re-bins per tier and measured 952 vs 659 ms at 200k).
+    bounce_prefix_tiers: "tuple | str" = "auto"
 
     # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).
     #   devices = 1: single chip (default).  devices = N: render across the
@@ -178,14 +185,13 @@ class RenderConfig:
     # Debugging: enable finite-value checks on path state each bounce.
     debug_nan_checks: bool = False
 
-    # Multi-chip: number of devices to shard rays across (1 = single chip).
-    num_devices: int = 1
-
     def __post_init__(self):
         # Tier fields must be tuples: the config is a jit static arg
         # (hashable) and bench/CLI layers hand these in as JSON lists.
         for f in ("mxu_binned_tiers", "bounce_prefix_tiers"):
             v = getattr(self, f)
+            if v == "auto" and f == "bounce_prefix_tiers":
+                continue
             if not isinstance(v, tuple):
                 object.__setattr__(self, f, tuple(v))
         # stream_compaction is bool | "adaptive", but sibling toggles use
@@ -204,3 +210,14 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+    def resolved_prefix_tiers(self) -> tuple:
+        """``bounce_prefix_tiers`` with the "auto" sentinel resolved against
+        the live backend: (4, 2) on accelerators, () on CPU (where the tier
+        cond chain only multiplies compile time -- test suites run CPU)."""
+        t = self.bounce_prefix_tiers
+        if t != "auto":
+            return t
+        import jax
+
+        return (4, 2) if jax.default_backend() != "cpu" else ()

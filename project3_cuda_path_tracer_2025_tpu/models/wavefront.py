@@ -71,11 +71,8 @@ def wavefront_iteration(
     # compaction being enabled: without packing there is no prefix to slice.
     from ..ops.fused import run_tiered, tier_sizes
 
-    npres = (
-        tier_sizes(n, cfg.bounce_prefix_tiers)
-        if cfg.bounce_prefix_tiers and cfg.stream_compaction
-        else []
-    )
+    tiers = cfg.resolved_prefix_tiers()
+    npres = tier_sizes(n, tiers) if tiers and cfg.stream_compaction else []
 
     def bounce(d, carry):
         paths, alive_counts = carry

@@ -392,7 +392,7 @@ def tex_sort_active(cfg: RenderConfig) -> bool:
     path -- where coherence sorting pays for itself through traversal culls
     -- a pure liveness sort here only buys the tier slicing, so it engages
     only when tiers are configured."""
-    return bool(cfg.bounce_prefix_tiers) and (
+    return bool(cfg.resolved_prefix_tiers()) and (
         cfg.ray_sorting == "on"
         or (cfg.ray_sorting == "auto" and jax.default_backend() != "cpu")
     )
@@ -430,7 +430,7 @@ def fused_tex_bounce(
     n = paths.pixel.shape[0]
     rng_n = rng_n or n
     sort_rays = tex_sort_active(cfg)
-    npres = tier_sizes(n, cfg.bounce_prefix_tiers) if sort_rays else []
+    npres = tier_sizes(n, cfg.resolved_prefix_tiers()) if sort_rays else []
 
     def body(head):
         if sort_rays and resort:
@@ -527,7 +527,12 @@ def fused_mesh_bounce(
     )
     n = paths.pixel.shape[0]
     rng_n = rng_n or n
-    tiers = tuple(cfg.bounce_prefix_tiers) if sort_rays else ()
+    tiers = cfg.resolved_prefix_tiers() if sort_rays else ()
+    if cfg.mxu_traversal == "binned":
+        # The binned traversal tiers internally (mxu_binned_tiers); wrapping
+        # the bounce in prefix tiers too re-bins at every tier boundary and
+        # measured 952 vs 659 ms at 200k (PARITY.md campaign table).
+        tiers = ()
     npres = tier_sizes(n, tiers)
     body = lambda head: _fused_mesh_bounce_at(
         dev, static, cfg, head, uniforms, interpret, resort, su_key,

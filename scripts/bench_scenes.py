@@ -95,10 +95,15 @@ def main():
     if not args.quick:
         runs += [
             ("scenes/cornell_mesh_5k.json", {"ray_sorting": "off"}),
+            # tiers A/B (default is auto -> (4,2) on TPU)
+            ("scenes/cornell_mesh_5k.json", {"bounce_prefix_tiers": ()}),
+            # binned traversal: the measured winner in the 100k-300k band
+            ("scenes/cornell_mesh_200k.json", {"mxu_traversal": "binned"}),
+            # wavefront default = adaptive compaction + tiers
             ("/root/reference/scenes/cornell.json", {"integrator": "wavefront"}),
-            (
+            (  # the reference's always-pack STREAM_COMPACTION parity config
                 "/root/reference/scenes/cornell.json",
-                {"integrator": "wavefront", "stream_compaction": "adaptive"},
+                {"integrator": "wavefront", "stream_compaction": True},
             ),
             (
                 "/root/reference/scenes/cornell.json",
