@@ -132,7 +132,10 @@ class RenderConfig:
     # populations on heavy meshes; falls back to streamed when live rays
     # exceed the prefix or bins overflow).  Bit-identical results
     # (tested; per-ray candidate contract in ops/intersect_mxu.py); "auto"
-    # picks planned for VMEM-resident meshes, streamed beyond CHUNK_TRIS.
+    # picks planned for VMEM-resident meshes (<= 32k tris), binned in its
+    # measured winning band (~128k-320k padded tris; 659 vs 917 ms at 200k
+    # on v5e), streamed for everything else (intersect_mxu.
+    # resolve_traversal_mode).
     mxu_traversal: str = "auto"
     # Live-prefix tiers for the binned traversal, as divisors of the ray
     # count (ascending coverage): the smallest prefix holding every live

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.vec import Vec3
@@ -83,26 +84,41 @@ def _apply_permutation(
 
 
 def _apply_permutation_isect(isect: Intersections, perm: jnp.ndarray) -> Intersections:
-    """Per-field gathers, deliberately NOT packed like ``_apply_permutation``:
-    packing the intersection SoA changes XLA's downstream fusion/FMA
-    contraction in ``shade`` and breaks the material-sort toggle's bitwise
-    A/B with the megakernel (measured 1-ulp diffs).  Material sorting is a
-    parity toggle, unprofitable on both the reference and here, so it keeps
-    exactness over gather count."""
-
-    def g3(v: Vec3) -> Vec3:
-        return Vec3(v.x[perm], v.y[perm], v.z[perm])
-
-    return Intersections(
-        t=isect.t[perm],
-        normal=g3(isect.normal),
-        material_id=isect.material_id[perm],
-        uv_u=isect.uv_u[perm],
-        uv_v=isect.uv_v[perm],
-        dpdu=g3(isect.dpdu),
-        dpdv=g3(isect.dpdv),
-        is_triangle=isect.is_triangle[perm],
+    """ONE packed [N, 13] i32 row gather (like ``_apply_permutation``, which
+    measured ~13x fewer gather launches) -- but BITCAST, not value-cast:
+    f32 payloads ride as their exact bit patterns in i32 lanes (the int
+    gather path neither rounds nor flushes denormals), so the permuted
+    values are reproduced bit-for-bit.  The unpacked fields pass through
+    ``optimization_barrier`` so downstream ``shade`` fusion/FMA contraction
+    cannot re-associate across the repack -- that barrier is what preserves
+    the material-sort toggle's bitwise A/B with the megakernel (a naive
+    value-packed version measured 1-ulp diffs from changed fusion)."""
+    f32 = [
+        isect.t,
+        isect.normal.x, isect.normal.y, isect.normal.z,
+        isect.uv_u, isect.uv_v,
+        isect.dpdu.x, isect.dpdu.y, isect.dpdu.z,
+        isect.dpdv.x, isect.dpdv.y, isect.dpdv.z,
+    ]
+    cols = [jax.lax.bitcast_convert_type(c, jnp.int32) for c in f32]
+    cols.append(isect.material_id)
+    cols.append(isect.is_triangle.astype(jnp.int32))
+    m = jnp.stack(cols, axis=1)[perm]
+    back = [
+        jax.lax.bitcast_convert_type(m[:, i], jnp.float32)
+        for i in range(len(f32))
+    ]
+    out = Intersections(
+        t=back[0],
+        normal=Vec3(back[1], back[2], back[3]),
+        material_id=m[:, 12],
+        uv_u=back[4],
+        uv_v=back[5],
+        dpdu=Vec3(back[6], back[7], back[8]),
+        dpdv=Vec3(back[9], back[10], back[11]),
+        is_triangle=m[:, 13] != 0,
     )
+    return jax.lax.optimization_barrier(out)
 
 
 def front_pack_permutation(alive: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -527,8 +527,13 @@ def fused_mesh_bounce(
     )
     n = paths.pixel.shape[0]
     rng_n = rng_n or n
+    from . import intersect_mxu
+
     tiers = cfg.resolved_prefix_tiers() if sort_rays else ()
-    if cfg.mxu_traversal == "binned":
+    traversal = intersect_mxu.resolve_traversal_mode(
+        cfg.mxu_traversal, static.mxu_padded_tris
+    )
+    if traversal == "binned":
         # The binned traversal tiers internally (mxu_binned_tiers); wrapping
         # the bounce in prefix tiers too re-bins at every tier boundary and
         # measured 952 vs 659 ms at 200k (PARITY.md campaign table).

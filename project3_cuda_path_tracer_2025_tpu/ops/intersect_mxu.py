@@ -1782,18 +1782,42 @@ def _run(
     return out_t[:n, 0], tri
 
 
+# Auto-traversal binned band (padded triangle counts): the packet-binned
+# traversal wins ONLY here on v5e -- 659 vs 917 ms at 200k, but 470 vs
+# 444 at 80k and 2757 vs 1673 at 500k (PARITY.md round-3 campaign): bin
+# construction is XLA sort/gather bound and grows with tile count, while
+# below ~128k the streamed walk's unions are already cheap.  Bounds sit
+# at the measured win's neighbors with margin; results are bit-identical
+# either way (candidate contract), so the band only affects speed.
+BINNED_AUTO_MIN = int(os.environ.get("PTT_BINNED_AUTO_MIN", str(128 * 1024)))
+BINNED_AUTO_MAX = int(os.environ.get("PTT_BINNED_AUTO_MAX", str(320 * 1024)))
+
+
+def resolve_traversal_mode(mode: str, padded_tris: int) -> str:
+    """Resolve "auto" to a concrete traversal for this mesh size: planned
+    for VMEM-resident meshes (<= CHUNK_TRIS; the feature table lives in
+    VMEM so streaming buys nothing), packet-binned in its measured winning
+    band (see BINNED_AUTO_MIN/MAX), streamed for everything else beyond
+    CHUNK_TRIS (measured faster than the chunked planned chain -- 67 vs
+    72 ms at 80k, 154 vs 163 ms at 200k on v5e -- because ONE call walks a
+    GLOBAL front-to-back plan instead of per-chunk plans in fixed leaf
+    order)."""
+    if mode != "auto":
+        return mode
+    if padded_tris <= CHUNK_TRIS:
+        return "planned"
+    if BINNED_AUTO_MIN < padded_tris <= BINNED_AUTO_MAX:
+        return "binned"
+    return "streamed"
+
+
 def traversal_flags(
     mode: str, padded_tris: int, binned_tiers: tuple = None
 ) -> dict:
-    """Resolve ``RenderConfig.mxu_traversal`` to kernel flags.
-
-    "auto": planned for VMEM-resident meshes (<= CHUNK_TRIS; the feature
-    table lives in VMEM so streaming buys nothing), streamed beyond
-    (measured faster than the chunked planned chain -- 67 vs 72 ms at 80k,
-    154 vs 163 ms at 200k on v5e -- because ONE call walks a GLOBAL
-    front-to-back plan instead of per-chunk plans in fixed leaf order).
-    Explicit "streamed" keeps planned=True as its >1024-tile capacity
-    fallback."""
+    """Resolve ``RenderConfig.mxu_traversal`` to kernel flags (see
+    ``resolve_traversal_mode`` for the "auto" policy).  Explicit
+    "streamed" keeps planned=True as its >1024-tile capacity fallback."""
+    mode = resolve_traversal_mode(mode, padded_tris)
     if mode == "sweep":
         return dict(planned=False, streamed=False)
     if mode == "planned":
@@ -1807,7 +1831,7 @@ def traversal_flags(
         if binned_tiers is not None:
             flags["binned_tiers"] = tuple(binned_tiers)
         return flags
-    return dict(planned=True, streamed=padded_tris > CHUNK_TRIS)
+    raise ValueError(f"unknown mxu_traversal mode: {mode!r}")
 
 
 def mesh_intersect_mxu(

@@ -491,3 +491,33 @@ def test_mxu_binned_matches_sweep_bitexact():
             np.asarray(vt_k), np.asarray(vt_d)
         )
     assert engaged, "no K < Ct engaged without overflow"
+
+
+def test_auto_traversal_policy():
+    """"auto" resolves per mesh size: planned while VMEM-resident, binned
+    only inside its measured winning band, streamed everywhere else
+    (PARITY.md round-3 campaign: 659 vs 917 ms at 200k, but binned LOSES
+    at 80k and 500k)."""
+    from project3_cuda_path_tracer_2025_tpu.ops.intersect_mxu import (
+        BINNED_AUTO_MAX,
+        BINNED_AUTO_MIN,
+        CHUNK_TRIS,
+        resolve_traversal_mode,
+        traversal_flags,
+    )
+
+    assert resolve_traversal_mode("auto", CHUNK_TRIS) == "planned"
+    assert resolve_traversal_mode("auto", CHUNK_TRIS + 1024) == "streamed"
+    assert resolve_traversal_mode("auto", 80 * 1024) == "streamed"
+    assert resolve_traversal_mode("auto", 200_704) == "binned"  # 200k scene
+    assert resolve_traversal_mode("auto", BINNED_AUTO_MAX + 1024) == "streamed"
+    assert BINNED_AUTO_MIN > 80 * 1024  # 80k scene stays streamed
+    # explicit modes pass through untouched
+    for m in ("sweep", "planned", "streamed", "binned"):
+        assert resolve_traversal_mode(m, 200_704) == m
+    # flags for auto-in-band match explicit binned
+    assert traversal_flags("auto", 200_704) == traversal_flags(
+        "binned", 200_704
+    )
+    with pytest.raises(ValueError):
+        traversal_flags("bogus", 1024)
