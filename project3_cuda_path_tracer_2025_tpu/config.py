@@ -140,8 +140,11 @@ class RenderConfig:
     # Live-prefix tiers for the binned traversal, as divisors of the ray
     # count (ascending coverage): the smallest prefix holding every live
     # ray engages; beyond the largest, the streamed walk runs.  Each tier
-    # compiles its own kernel with a proportionate pair budget.
-    mxu_binned_tiers: tuple = (4, 2)
+    # compiles its own kernel; the pair budget is tier-INDEPENDENT
+    # (sized at the n/4 prefix), so deeper tiers only shrink bin
+    # construction.  The 1/8 tier carries every bounce of the 200k bench
+    # scene (live_pos <= 77k measured, PARITY.md).
+    mxu_binned_tiers: tuple = (8, 4, 2)
     # Prefix tiers for the WHOLE fused mesh bounce, as divisors of the ray
     # count: with persistent sorting, every alive ray sits inside the
     # previous bounce's alive prefix, so all per-bounce stages (prim

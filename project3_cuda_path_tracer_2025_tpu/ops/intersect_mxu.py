@@ -1117,18 +1117,26 @@ BINNED_PAIR_MEAN = int(os.environ.get("PTT_BINNED_PAIR_MEAN", "14"))
 # selectivity): the smallest prefix holding every live ray wins, so late
 # sparse bounces pay a small construction bill and mid bounces a larger
 # one; live counts beyond the largest tier fall back to the streamed walk.
-# Tunable for population studies (budget and construction scale with the
-# prefix; each tier compiles its own kernel).
+# The PAIR BUDGET is tier-independent (sized at the n/4 prefix), so a
+# deeper tier only shrinks construction, never trips a tighter budget.
+# Measured on the 200k mesh (800^2, v5e): live_pos <= 77k on EVERY bounce,
+# so the 1/8 tier engages throughout and halves every construction cost
+# vs the old (4,)-only default.
 BINNED_PREFIX_TIERS = tuple(
     int(s)
-    for s in os.environ.get("PTT_BINNED_TIERS", "4").split(",")
+    for s in os.environ.get("PTT_BINNED_TIERS", "8,4").split(",")
     if s.strip()
 )
 # Bin-construction layout: 0 scatters the dense [n_g, Ct] slot matrix
-# (input-linear in tiles); K > 0 first compacts each packet row to its
-# first K candidate tiles so the scatter input is [n_g, K] (packets with
-# more than K candidates overflow to the streamed fallback).
-BINNED_TOPK = int(os.environ.get("PTT_BINNED_TOPK", "0"))
+# (input-linear in tiles); K > 0 compacts each packet's candidate row to
+# its K lowest slot ids via one lax.top_k (the scatter input shrinks to
+# [n_g, K] AND the per-packet slot list `dst` comes out for free, which
+# turns the per-ray reduce from two serial scatter-mins into one dense
+# row gather + min).  K is clamped to Ct; packets with more than K
+# candidates overflow to the streamed fallback.  Measured packet
+# candidate max on the 200k mesh is ~104 across all bounces, so the
+# default 128 never overflows there while p99 sits at ~77.
+BINNED_TOPK = int(os.environ.get("PTT_BINNED_TOPK", "128"))
 _INT_BIG = np.int32(2**31 - 1)
 
 
@@ -1237,8 +1245,10 @@ def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget, topk):
     laid out tile-major in GP-padded slot runs.
 
     Returns ``(src [B] i32 packet-id per slot (n_g = dead), vt [NV] i32
-    tile per visit, overflow bool)``.  The k=2 slab keeps the bins a
-    superset of the kernel's k=1 member test (module contract)."""
+    tile per visit, dst [n_g, K] i32 per-packet slot list (_INT_BIG =
+    unused entry; None when topk == 0), overflow bool)``.  The k=2 slab
+    keeps the bins a superset of the kernel's k=1 member test (module
+    contract)."""
     npre = rayf_p.shape[0]
     g = BINNED_G
     gp = RAY_TILE // g
@@ -1298,33 +1308,22 @@ def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget, topk):
     total = cum_end[-1]
     overflow = total > pair_budget
 
-    if 0 < topk < ct:
-        # Scatter-input reduction: XLA scatter cost scales with INPUT size
-        # (n_g*ct for the dense layout), so compact each packet's candidate
-        # row to its first K tiles before scattering (n_g*K inputs).  A
+    if topk > 0:
+        # Slot-top_k compaction: each packet's candidate slots (off[c] +
+        # rank, ascending in c because off and rank are) are the K
+        # smallest entries of a [n_g, ct] slot matrix whose non-candidates
+        # are _INT_BIG.  One lax.top_k call replaces the dense scatter
+        # input (n_g*ct -> n_g*K) AND yields the per-packet slot list
+        # `dst` that the gather-based reduce in _run_binned consumes.  A
         # packet with more than K candidates sets overflow -> streamed
         # fallback, so the bins stay exact candidate supersets.
-        K = topk
-        rowrank = jnp.cumsum(hg.astype(jnp.int32), axis=1) - hg.astype(
-            jnp.int32
-        )
-        overflow = overflow | jnp.any((rowrank[:, -1] + hg[:, -1]) > K)
-        # Contract the (c -> k) one-hot chunked over tiles: tile id and
-        # column rank of each packet's k-th candidate, no materialized
-        # [n_g, ct, K] tensor per chunk beyond TC lanes.
-        slot_k = jnp.zeros((n_g, K), jnp.int32)  # off[tile] + rank, summed
-        cnt_k = jnp.zeros((n_g, K), jnp.bool_)
-        kk = jax.lax.iota(jnp.int32, K)
-        for c0 in range(0, ct, TC):
-            hgc = hg[:, c0 : c0 + TC]
-            rrc = rowrank[:, c0 : c0 + TC]
-            onek = hgc[:, :, None] & (rrc[:, :, None] == kk[None, None, :])
-            slot_c = off[None, c0 : c0 + TC] + rank[:, c0 : c0 + TC]
-            slot_k += jnp.sum(
-                onek * slot_c[:, :, None], axis=1, dtype=jnp.int32
-            )
-            cnt_k |= jnp.any(onek, axis=1)
-        dst = jnp.where(cnt_k, slot_k, pair_budget)
+        K = min(topk, ct)
+        if K < ct:
+            cnt_row = jnp.sum(hg, axis=1)
+            overflow = overflow | jnp.any(cnt_row > K)
+        slotmat = jnp.where(hg, off[None, :] + rank, _INT_BIG)
+        neg_vals, _ = jax.lax.top_k(-slotmat, K)
+        dst = -neg_vals  # [n_g, K], ascending; _INT_BIG = unused
         src_ids = jnp.broadcast_to(
             jax.lax.iota(jnp.int32, n_g)[:, None], (n_g, K)
         )
@@ -1342,20 +1341,30 @@ def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget, topk):
     slots = jax.lax.iota(jnp.int32, nv) * gp
     vt = jnp.searchsorted(cum_end, slots, side="right").astype(jnp.int32)
     vt = jnp.where(slots < total, jnp.minimum(vt, ct - 1), -1)
-    return src, vt, overflow
+    return src, vt, (dst if topk > 0 else None), overflow
 
 
-def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret, topk):
+def _run_binned(
+    rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret, topk,
+    budget_rays=None,
+):
     """Packet-binned traversal over the (sorted live) prefix; bit-identical
-    to the sweep by the candidate contract.  Returns (t, tri) [npre, 1]."""
+    to the sweep by the candidate contract.  Returns (t, tri) [npre, 1].
+
+    ``budget_rays`` sizes the pair budget independently of the engaged
+    tier (callers pass max(npre, n/4)): the live pairs are a property of
+    the POPULATION, not of the prefix that happens to hold it, so a
+    deeper tier must not tighten the budget and trip spurious overflow
+    fallbacks."""
     npre = rayf_p.shape[0]
     g = BINNED_G
     gp = RAY_TILE // g
     n_g = npre // g
     ct = aabb_c.shape[0]
-    pair_budget = n_g * min(BINNED_PAIR_MEAN, ct) + gp * ct
+    n_g_budget = (budget_rays if budget_rays is not None else npre) // g
+    pair_budget = n_g_budget * min(BINNED_PAIR_MEAN, ct) + gp * ct
     pair_budget = ((pair_budget + gp - 1) // gp) * gp
-    src, vt, overflow = _packet_bins(
+    src, vt, dst, overflow = _packet_bins(
         aabb_c, rayf_p, tlim_p, pair_budget, topk
     )
 
@@ -1404,21 +1413,39 @@ def _run_binned(rayf_p, feat, aabb_c, tlim_p, baby_eps, interpret, topk):
     # among exact-t ties (the contract's winner rule).
     pt = pair_t.reshape(pair_budget, g)
     ptri = pair_tri.reshape(pair_budget, g)
-    tmin = (
-        jnp.full((n_g + 1, g), jnp.inf)
-        .at[src]
-        .min(pt, mode="drop")
-    )
-    pair_tmin = tmin[src]
-    cand_tri = jnp.where(pt == pair_tmin, ptri, _INT_BIG)
-    trimin = (
-        jnp.full((n_g + 1, g), _INT_BIG, jnp.int32)
-        .at[src]
-        .min(cand_tri, mode="drop")
-    )
-    hit = tmin[:n_g] < jnp.inf
-    out_t = jnp.where(hit, tmin[:n_g], tlim_p.reshape(n_g, g))
-    out_tri = jnp.where(hit, trimin[:n_g], -1)
+    if dst is not None:
+        # Gather-based reduce: each packet reads its OWN <= K visit rows
+        # (dst from _packet_bins) and mins across them in dense XLA --
+        # two serial scatter-mins become one row gather + elementwise
+        # min.  Unused dst entries (_INT_BIG) clamp to the pad row
+        # (inf / _INT_BIG), which is the reduce's identity.
+        dsts = jnp.minimum(dst, pair_budget)
+        rows_t = jnp.concatenate(
+            [pt, jnp.full((1, g), jnp.inf)], axis=0
+        )[dsts]  # [n_g, K, g]
+        tmin = jnp.min(rows_t, axis=1)
+        rows_tri = jnp.concatenate(
+            [ptri, jnp.full((1, g), _INT_BIG, jnp.int32)], axis=0
+        )[dsts]
+        cand_tri = jnp.where(rows_t == tmin[:, None, :], rows_tri, _INT_BIG)
+        trimin = jnp.min(cand_tri, axis=1)
+    else:
+        tmin = (
+            jnp.full((n_g + 1, g), jnp.inf)
+            .at[src]
+            .min(pt, mode="drop")
+        )
+        pair_tmin = tmin[src]
+        cand_tri = jnp.where(pt == pair_tmin, ptri, _INT_BIG)
+        trimin = (
+            jnp.full((n_g + 1, g), _INT_BIG, jnp.int32)
+            .at[src]
+            .min(cand_tri, mode="drop")
+        )[:n_g]
+        tmin = tmin[:n_g]
+    hit = tmin < jnp.inf
+    out_t = jnp.where(hit, tmin, tlim_p.reshape(n_g, g))
+    out_tri = jnp.where(hit, trimin, -1)
     return (
         out_t.reshape(npre, 1),
         out_tri.reshape(npre, 1),
@@ -1671,6 +1698,7 @@ def _run(
                 t_p, tri_p, ovf = _run_binned(
                     rayf[:npre], features, tile_aabb, tlim[:npre],
                     baby_eps, interpret, topk,
+                    budget_rays=max(npre, n_pad // 4),
                 )
                 full_t = jnp.concatenate([t_p, tlim[npre:]], axis=0)
                 full_tri = jnp.concatenate(

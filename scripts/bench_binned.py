@@ -200,7 +200,7 @@ def profile(scn, res, depth, tier_div, k):
         )
         return out
 
-    src, vt, ovf = timeit(
+    src, vt, dst, ovf = timeit(
         "_packet_bins",
         lambda rp, tp: m._packet_bins(
             aabb_c, rp, tp, pair_budget, m.BINNED_TOPK
@@ -236,7 +236,7 @@ def profile(scn, res, depth, tier_div, k):
 
     print("\n--- variant sweep (e2e binned intersect) ---", flush=True)
     base = (m.BINNED_G, m.BINNED_TOPK, m.BINNED_PAIR_MEAN)
-    for G, TK in itertools.product((8, 16), (0, 48)):
+    for G, TK in itertools.product((4, 8), (0, 128)):
         m.BINNED_G, m.BINNED_TOPK = G, TK
         m.BINNED_PAIR_MEAN = base[2] if G == 8 else base[2] + 6
         try:

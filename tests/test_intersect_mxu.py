@@ -476,11 +476,13 @@ def test_mxu_binned_matches_sweep_bitexact():
         (n_g * min(_m.BINNED_PAIR_MEAN, ct) + gp * ct + gp - 1) // gp
     ) * gp
     aabb = dev20.mxu_mesh.tile_aabb
-    src_d, vt_d, ovf_d = _m._packet_bins(aabb, rayf, tlimp, budget, 0)
-    assert not bool(np.asarray(ovf_d))
+    src_d, vt_d, dst_d, ovf_d = _m._packet_bins(aabb, rayf, tlimp, budget, 0)
+    assert dst_d is None and not bool(np.asarray(ovf_d))
     engaged = False
     for k in range(ct - 1, 0, -1):
-        src_k, vt_k, ovf_k = _m._packet_bins(aabb, rayf, tlimp, budget, k)
+        src_k, vt_k, dst_k, ovf_k = _m._packet_bins(
+            aabb, rayf, tlimp, budget, k
+        )
         if bool(np.asarray(ovf_k)):
             break
         engaged = True
@@ -490,6 +492,15 @@ def test_mxu_binned_matches_sweep_bitexact():
         np.testing.assert_array_equal(
             np.asarray(vt_k), np.asarray(vt_d)
         )
+        # dst must list exactly the slots that scatter into src: slot s
+        # with src[s] = i appears in dst row i (ascending, _INT_BIG pads).
+        dst_np = np.asarray(dst_k)
+        src_np = np.asarray(src_d)
+        n_g = dst_np.shape[0]
+        for i in range(0, n_g, max(1, n_g // 13)):
+            expect = np.where(src_np == i)[0]
+            got = dst_np[i][dst_np[i] < _m._INT_BIG]
+            np.testing.assert_array_equal(np.sort(got), expect)
     assert engaged, "no K < Ct engaged without overflow"
 
 
