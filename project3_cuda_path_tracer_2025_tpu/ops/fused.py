@@ -530,18 +530,15 @@ def fused_mesh_bounce(
     from . import intersect_mxu
 
     tiers = cfg.resolved_prefix_tiers() if sort_rays else ()
-    traversal = intersect_mxu.resolve_traversal_mode(
-        cfg.mxu_traversal, static.mxu_padded_tris
-    )
-    if traversal == "binned":
-        # The binned traversal tiers internally (mxu_binned_tiers); wrapping
-        # the bounce in prefix tiers too re-bins at every tier boundary and
-        # measured 952 vs 659 ms at 200k (PARITY.md campaign table).
-        tiers = ()
     npres = tier_sizes(n, tiers)
+    # Bounce tiers COMPOSE with the binned traversal now that the pair
+    # budget is anchored to the unsliced ray count (budget_anchor_n): the
+    # round-3 "tiers+binned" regression (952 vs 659 ms at 200k) was the
+    # slice-local budget overflowing on mid bounces and silently falling
+    # back to the streamed walk every frame.
     body = lambda head: _fused_mesh_bounce_at(
         dev, static, cfg, head, uniforms, interpret, resort, su_key,
-        rng_n, sort_rays,
+        rng_n, sort_rays, budget_anchor_n=n,
     )
     if not npres:
         return body(paths)
@@ -606,6 +603,7 @@ def _fused_mesh_bounce_at(
     su_key: jax.Array,
     rng_n: int,
     sort_rays: bool,
+    budget_anchor_n: int = None,
 ) -> PathState:
     """The bounce body (possibly over a prefix slice of the ray state)."""
     import dataclasses
@@ -649,6 +647,7 @@ def _fused_mesh_bounce_at(
         **intersect_mxu.traversal_flags(
             cfg.mxu_traversal, static.mxu_padded_tris,
             binned_tiers=cfg.mxu_binned_tiers,
+            binned_budget_rays=budget_anchor_n,
         ),
     )
     textured = static.num_textures > 0

@@ -1459,6 +1459,7 @@ def _run_binned(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
         "sort_mode", "streamed", "binned", "binned_tiers", "binned_topk",
+        "binned_budget_rays",
     ),
 )
 def _run(
@@ -1482,6 +1483,7 @@ def _run(
     binned: bool = False,
     binned_tiers: tuple = None,
     binned_topk: int = None,
+    binned_budget_rays: int = None,
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -1698,7 +1700,10 @@ def _run(
                 t_p, tri_p, ovf = _run_binned(
                     rayf[:npre], features, tile_aabb, tlim[:npre],
                     baby_eps, interpret, topk,
-                    budget_rays=max(npre, n_pad // 4),
+                    budget_rays=max(
+                        npre,
+                        (binned_budget_rays or n_pad) // 4,
+                    ),
                 )
                 full_t = jnp.concatenate([t_p, tlim[npre:]], axis=0)
                 full_tri = jnp.concatenate(
@@ -1840,7 +1845,8 @@ def resolve_traversal_mode(mode: str, padded_tris: int) -> str:
 
 
 def traversal_flags(
-    mode: str, padded_tris: int, binned_tiers: tuple = None
+    mode: str, padded_tris: int, binned_tiers: tuple = None,
+    binned_budget_rays: int = None,
 ) -> dict:
     """Resolve ``RenderConfig.mxu_traversal`` to kernel flags (see
     ``resolve_traversal_mode`` for the "auto" policy).  Explicit
@@ -1858,6 +1864,13 @@ def traversal_flags(
         flags = dict(planned=True, streamed=True, binned=True)
         if binned_tiers is not None:
             flags["binned_tiers"] = tuple(binned_tiers)
+        if binned_budget_rays is not None:
+            # Anchor the pair budget to the UNSLICED ray count: when a
+            # bounce-tier prefix hands the intersector a slice, the live
+            # pair population is unchanged, so a slice-local budget would
+            # trip spurious overflow fallbacks (the round-3 tiers+binned
+            # regression, PARITY.md).
+            flags["binned_budget_rays"] = int(binned_budget_rays)
         return flags
     raise ValueError(f"unknown mxu_traversal mode: {mode!r}")
 
@@ -1883,6 +1896,7 @@ def mesh_intersect_mxu(
     binned: bool = False,
     binned_tiers: tuple = None,
     binned_topk: int = None,
+    binned_budget_rays: int = None,
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -1909,6 +1923,7 @@ def mesh_intersect_mxu(
         binned=binned,
         binned_tiers=binned_tiers,
         binned_topk=binned_topk,
+        binned_budget_rays=binned_budget_rays,
     )
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)

@@ -180,10 +180,11 @@ def profile(scn, res, depth, tier_div, k):
     g = m.BINNED_G
     gp = m.RAY_TILE // g
     n_g = npre // g
-    # Same budget formula as _run_binned (incl. the min(..., ct) clamp) so
-    # stage timings describe the production kernel.
+    # Same budget formula as _run_binned with the tier-INDEPENDENT anchor
+    # (max(npre, n/4)) so stage timings describe the production kernel.
     ct = aabb_c.shape[0]
-    pair_budget = n_g * min(m.BINNED_PAIR_MEAN, ct) + gp * ct
+    n_gb = max(npre, n_pad // 4) // g
+    pair_budget = n_gb * min(m.BINNED_PAIR_MEAN, ct) + gp * ct
     pair_budget = ((pair_budget + gp - 1) // gp) * gp
 
     def timeit(name, fn, *a):
@@ -226,6 +227,45 @@ def profile(scn, res, depth, tier_div, k):
         return pairf, tlg[src].reshape(pair_budget * g, 1)
 
     timeit("record gather", gather_records, src, rayf_p, tlim_p)
+
+    # Finer construction/reduce splits (the knobs worth attacking next).
+    def hg_rank_slots(rp, tp):
+        # the _packet_bins front half: slab sweep + rank matmul + slotmat
+        o = rp[:, 6:9]; d = rp[:, 0:3]
+        live = rp[:, 9] > 0.0
+        tl = tp[:, 0]
+        inv = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+        hs = []
+        for c0 in range(0, ct, 16):
+            rows = aabb_c[c0:c0 + 16]
+            lo, hi = rows[:, 0:3], rows[:, 3:6]
+            t1 = (lo[None] - o[:, None]) * inv[:, None]
+            t2 = (hi[None] - o[:, None]) * inv[:, None]
+            tlo = jnp.max(jnp.minimum(t1, t2), 2)
+            thi = jnp.min(jnp.maximum(t1, t2), 2)
+            tlo, thi = m._widen_slab(tlo, thi, k=2)
+            h = (thi >= tlo) & (thi > 0.0) & (tlo < tl[:, None]) & live[:, None]
+            hs.append(h.reshape(n_g, g, rows.shape[0]).any(1))
+        return jnp.concatenate(hs, 1)
+
+    hg = timeit("  hg slab sweep", hg_rank_slots, rayf_p, tlim_p)
+
+    def topk_only(hg):
+        neg, _ = jax.lax.top_k(-jnp.where(hg, jax.lax.broadcasted_iota(jnp.int32, hg.shape, 1), m._INT_BIG), min(m.BINNED_TOPK, ct) or ct)
+        return -neg
+
+    if m.BINNED_TOPK:
+        dstx = timeit("  top_k alone", topk_only, hg)
+
+        def scatter_src(dstx):
+            return (
+                jnp.full((pair_budget,), n_g, jnp.int32)
+                .at[jnp.minimum(dstx, pair_budget).reshape(-1)]
+                .set(jnp.broadcast_to(jax.lax.iota(jnp.int32, n_g)[:, None], dstx.shape).reshape(-1), mode="drop")
+            )
+
+        timeit("  src scatter", scatter_src, dstx)
+
     timeit(
         "binned e2e (_run_binned)",
         lambda rp, tp: m._run_binned(

@@ -242,11 +242,23 @@ def test_render_binned_traversal_matches_default(repo_root):
     )
     a = Renderer(mesh, base)
     b = Renderer(mesh, dataclasses.replace(base, mxu_traversal="binned"))
+    # Binned COMPOSED with bounce-prefix tiers: the tier slice hands the
+    # intersector a prefix while the pair budget stays anchored to the
+    # full ray count (fused.py budget_anchor_n) -- still bit-identical.
+    c = Renderer(
+        mesh,
+        dataclasses.replace(
+            base, mxu_traversal="binned", bounce_prefix_tiers=(4, 2)
+        ),
+    )
     for _ in range(2):
         a.step()
         b.step()
+        c.step()
     np.testing.assert_array_equal(a.image(), b.image())
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+    np.testing.assert_array_equal(a.image(), c.image())
+    np.testing.assert_array_equal(a._alive_counts, c._alive_counts)
 
 
 def test_render_bounce_prefix_tiers_matches_default(repo_root):
