@@ -1318,12 +1318,18 @@ def _packet_bins(aabb_c, rayf_p, tlim_p, pair_budget, topk):
         # packet with more than K candidates sets overflow -> streamed
         # fallback, so the bins stay exact candidate supersets.
         K = min(topk, ct)
+        slotmat = jnp.where(hg, off[None, :] + rank, _INT_BIG)
         if K < ct:
             cnt_row = jnp.sum(hg, axis=1)
             overflow = overflow | jnp.any(cnt_row > K)
-        slotmat = jnp.where(hg, off[None, :] + rank, _INT_BIG)
-        neg_vals, _ = jax.lax.top_k(-slotmat, K)
-        dst = -neg_vals  # [n_g, K], ascending; _INT_BIG = unused
+            neg_vals, _ = jax.lax.top_k(-slotmat, K)
+            dst = -neg_vals  # [n_g, K], ascending; _INT_BIG = unused
+        else:
+            # K == ct: the slot matrix IS the per-packet slot list -- row
+            # order is irrelevant to both the src scatter and the
+            # gather-based reduce, so the top_k sort is pure waste here,
+            # and no per-packet overflow is possible.
+            dst = slotmat
         src_ids = jnp.broadcast_to(
             jax.lax.iota(jnp.int32, n_g)[:, None], (n_g, K)
         )

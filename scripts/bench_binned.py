@@ -276,7 +276,7 @@ def profile(scn, res, depth, tier_div, k):
 
     print("\n--- variant sweep (e2e binned intersect) ---", flush=True)
     base = (m.BINNED_G, m.BINNED_TOPK, m.BINNED_PAIR_MEAN)
-    for G, TK in itertools.product((4, 8), (0, 128)):
+    for G, TK in itertools.product((8,), (0, 96, 128, 10**6)):
         m.BINNED_G, m.BINNED_TOPK = G, TK
         m.BINNED_PAIR_MEAN = base[2] if G == 8 else base[2] + 6
         try:
