@@ -43,6 +43,31 @@ def inclusive_scan_jnp(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumsum(x)
 
 
+def inclusive_scan_naive(x: jnp.ndarray) -> jnp.ndarray:
+    """Hillis-Steele scan: ceil(log2 n) doubling passes, each adding the
+    array to itself shifted by the pass offset.
+
+    The third scan flavor of the reference's library
+    (``stream_compaction/naive.cu:17-74``) next to the Blelloch tree and the
+    thrust wrapper.  On TPU each pass is one full-width vector shift + add
+    (XLA ``pad``/``slice`` fuse into the add), so the O(n log n) work rides
+    the VPU at bandwidth rate -- fine as an oracle, dominated by the MXU
+    triangular-matmul scan for production just as ``naive`` loses to
+    ``efficient`` in the reference's own benchmarks."""
+    n = x.shape[0]
+    offset = 1
+    while offset < n:
+        x = x + jnp.pad(x[: n - offset], (offset, 0))
+        offset *= 2
+    return x
+
+
+def exclusive_scan_naive(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive Hillis-Steele scan (shift-right of the inclusive result,
+    exactly the reference's ``naive.cu`` final shift)."""
+    return jnp.pad(inclusive_scan_naive(x)[:-1], (1, 0))
+
+
 # ---------------------------------------------------------------------------
 # Pallas MXU scan
 # ---------------------------------------------------------------------------

@@ -43,6 +43,12 @@ MATRIX = [
      "/root/reference/scenes/cornell_reflective_test.json", 32, 32, 2),
     ("mesh_textured",
      os.path.join(REPO, "scenes", "cornell_mesh_textured.json"), 32, 32, 1),
+    # The author's own quality anchor is the TRANSMISSIVE cornell
+    # (/root/reference/README.md:267) and DoF (aperture > 0) is the other
+    # historically-trickiest parity path -- both get absolute locks.
+    ("transmissive",
+     "/root/reference/scenes/cornell_transmissive_test.json", 32, 32, 2),
+    ("dof", os.path.join(REPO, "scenes", "cornell_dof.json"), 32, 32, 2),
 ]
 
 
@@ -63,8 +69,13 @@ def render_film(path: str, w: int, h: int, spp: int) -> np.ndarray:
 
 
 def main():
+    # --only NAME [NAME...]: regenerate a subset (e.g. newly added cases)
+    # without rewriting untouched goldens.
+    only = sys.argv[2:] if len(sys.argv) > 1 and sys.argv[1] == "--only" else None
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, path, w, h, spp in MATRIX:
+        if only is not None and name not in only:
+            continue
         film = render_film(path, w, h, spp)
         out = os.path.join(GOLDEN_DIR, f"{name}.npz")
         # Store the scene path (repo-relative via $REPO) so the test can

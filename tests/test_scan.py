@@ -96,3 +96,18 @@ def test_radix_sort_full_width():
     keys = rng.integers(0, 2**31 - 1, 256).astype(np.int32)
     perm = np.asarray(scan_mod.radix_sort_permutation(jnp.asarray(keys), num_bits=31))
     np.testing.assert_array_equal(keys[perm], np.sort(keys, kind="stable"))
+
+
+def test_naive_scan_matches_oracle():
+    """Hillis-Steele flavor (reference stream_compaction/naive.cu:17-74)."""
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 7, 128, 1000, 4097):
+        x = jnp.asarray(rng.integers(0, 5, n), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(scan_mod.inclusive_scan_naive(x)),
+            np.cumsum(np.asarray(x)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(scan_mod.exclusive_scan_naive(x)),
+            np.cumsum(np.asarray(x)) - np.asarray(x),
+        )
