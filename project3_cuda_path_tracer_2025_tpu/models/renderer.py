@@ -202,9 +202,16 @@ class Renderer:
         self.stats = FrameStats()
 
     # -- rendering -------------------------------------------------------------
-    def step(self) -> None:
+    def step(self, sync: bool = True) -> None:
         """Trace one spp iteration (reference: one ``pathtrace()`` frame).
-        Sample-parallel multi-chip advances ``cfg.devices`` spp per call."""
+        Sample-parallel multi-chip advances ``cfg.devices`` spp per call.
+
+        ``sync=False`` enqueues the dispatch without the per-call device
+        sync (a ~22 ms tunnel roundtrip): an interactive loop that displays
+        a preview each frame gets its sync from the preview fetch instead,
+        so 1-spp dispatches pipeline at device-compute rate (the reference's
+        operating mode, one ``pathtrace()`` per frame, src/pathtrace.cu:639,
+        where the GL draw provides the same natural sync)."""
         self.iteration += self._spp_stride
         t0 = time.perf_counter()
         self.film, alive = self._step(
@@ -217,9 +224,10 @@ class Renderer:
         # device_sync fetches one scalar (a ~22 ms roundtrip on TPU) so the
         # wall time is honest.  Unbatched ms/frame therefore includes the
         # tunnel roundtrip -- that IS the interactive latency.
-        timers.device_sync(self.film.x)
+        if sync:
+            timers.device_sync(self.film.x)
         self.stats.add((time.perf_counter() - t0) * 1e3)
-        self._alive_counts = np.asarray(alive)
+        self._alive_counts = alive if not sync else np.asarray(alive)
         if self.cfg.debug_nan_checks:
             self._check_finite()
 
@@ -276,7 +284,7 @@ class Renderer:
         # reflects what actually ran.
         n_disp = max(1, -(-k // stride))
         if n_disp == 1:
-            self.step()
+            self.step(sync=sync)
             return
         args = (
             self._cam_state, self.film,
@@ -347,6 +355,38 @@ class Renderer:
         return film_ops.to_host_image(
             self._flat_film(), self.static.width, self.static.height
         )
+
+    def preview_image(self, out_h: int, out_w: int) -> np.ndarray:
+        """[out_h, out_w, 3] normalized preview, downsampled ON DEVICE.
+
+        The interactive loop's display is terminal-sized (~160x90 cells);
+        fetching the full 800^2 film per frame costs ~7.7 MB through the
+        TPU tunnel (~0.8 s) while the preview is ~0.3 MB (~30 ms).  Uses
+        the same nearest-neighbor grid as ``interactive.frame_to_ansi`` so
+        the displayed cells are identical to the full-fetch path (asserted
+        in tests/test_interactive.py)."""
+        h, w = self.static.height, self.static.width
+        ys = np.clip((np.arange(out_h) + 0.5) * h / out_h, 0, h - 1).astype(int)
+        xs = np.clip((np.arange(out_w) + 0.5) * w / out_w, 0, w - 1).astype(int)
+        key = (out_h, out_w)
+        cache = getattr(self, "_preview_cache", None)
+        if cache is None:
+            cache = self._preview_cache = {}
+        if key not in cache:
+            ys_j, xs_j = jnp.asarray(ys), jnp.asarray(xs)
+
+            @jax.jit
+            def _preview(film, iters):
+                img = jnp.stack(
+                    [a.reshape(h, w)[ys_j][:, xs_j] for a in film], axis=-1
+                )
+                return img / jnp.maximum(1.0, iters)
+
+            cache[key] = _preview
+        small = cache[key](
+            tuple(self._flat_film()), jnp.float32(max(1, self.iteration))
+        )
+        return np.asarray(small)
 
     def image_normalized(self) -> np.ndarray:
         return self.image() / max(1, self.iteration)

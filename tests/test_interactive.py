@@ -53,3 +53,32 @@ def test_shell_key_dispatch(scenes_dir, tmp_path):
 
     assert len(glob.glob(str(tmp_path / "*.png"))) >= 1
     assert "iter" in shell.status_line()
+
+
+def test_preview_image_matches_full_fetch(scenes_dir):
+    """Device-side preview downsample == host downsample of the full image
+    on the same nearest-neighbor grid (divisible sizes -> exact)."""
+    scene = set_resolution(load_scene(str(scenes_dir / "cornell.json")), 16, 16)
+    scene.state.trace_depth = 2
+    r = Renderer(scene, RenderConfig())
+    r.step()
+    small = r.preview_image(8, 4)
+    assert small.shape == (8, 4, 3)
+    full = r.image_normalized()
+    ys = ((np.arange(8) + 0.5) * 16 / 8).astype(int)
+    xs = ((np.arange(4) + 0.5) * 16 / 4).astype(int)
+    np.testing.assert_allclose(small, full[ys][:, xs], rtol=1e-6)
+
+
+def test_step_nosync_pipelines(scenes_dir):
+    """step(sync=False) enqueues without a host sync and the film still
+    accumulates correctly once fetched."""
+    scene = set_resolution(load_scene(str(scenes_dir / "cornell.json")), 12, 12)
+    scene.state.trace_depth = 2
+    a = Renderer(scene, RenderConfig())
+    b = Renderer(scene, RenderConfig())
+    for _ in range(3):
+        a.step()
+        b.step(sync=False)
+    np.testing.assert_allclose(a.image(), b.image(), atol=0.0)
+    assert b.iteration == 3
