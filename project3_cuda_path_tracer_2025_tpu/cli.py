@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
+        "--pixel-chunks", type=int, default=1,
+        help="split each iteration into C sequential dispatches over pixel "
+        "blocks (bit-identical; bounds per-program ray count -- use for "
+        "the brute-force A/B at full res, see config.pixel_chunks)",
+    )
+    p.add_argument(
         "--devices", type=int, default=1,
         help="render across N chips (shard_map over the ray axis; 1 = single)",
     )
@@ -177,6 +183,7 @@ def main(argv=None) -> int:
         spp_per_launch=args.spp_per_launch,
         devices=args.devices,
         parallel_mode=args.parallel_mode,
+        pixel_chunks=args.pixel_chunks,
     )
     r = Renderer(scene, cfg, seed=args.seed)
     if args.resume:

@@ -164,6 +164,18 @@ class RenderConfig:
     # both re-bins per tier and measured 952 vs 659 ms at 200k).
     bounce_prefix_tiers: "tuple | str" = "auto"
 
+    # Split each iteration into C sequential same-shaped dispatches over
+    # contiguous pixel blocks (the megakernel's shard path with a traced
+    # block-id -- ONE compiled program, C launches).  Identical to
+    # unchunked up to XLA fusion rounding (pixel-keyed RNG; megakernel
+    # paths measure bit-exact, the wavefront shard program re-fuses FMA
+    # contraction at <=1e-6 -- tests/test_chunked.py).
+    # Purpose: bounding per-program ray count for configs that overwhelm
+    # the backend -- the brute-force A/B (bvh_acceleration=False) faults
+    # the axon TPU worker at 800^2 in one 640k-ray program (PARITY.md
+    # round-3) but completes chunked.  1 = off.
+    pixel_chunks: int = 1
+
     # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).
     #   devices = 1: single chip (default).  devices = N: render across the
     #   first N jax devices.  parallel_mode:

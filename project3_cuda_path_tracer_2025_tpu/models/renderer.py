@@ -140,6 +140,57 @@ class Renderer:
             else megakernel_iteration
         )
 
+        if cfg_.pixel_chunks > 1:
+            # Chunked dispatch: C sequential launches of ONE compiled
+            # program over contiguous pixel blocks (the integrators' shard
+            # path with a traced block-id vector).  Pixel-keyed RNG makes
+            # this bit-identical to the unchunked step; it exists to bound
+            # per-program ray count (the brute-force A/B at 800^2 faults
+            # the axon worker in one 640k-ray program but completes
+            # chunked -- see config.pixel_chunks).
+            n_g = static_.pixel_count
+            chunks = cfg_.pixel_chunks
+            if n_g % chunks:
+                raise ValueError(
+                    f"pixel_chunks={chunks} must divide the pixel count {n_g}"
+                )
+            sz = n_g // chunks
+
+            def _chunk(cam, film_c, iteration, key, idx):
+                return iter_fn(
+                    dev_, static_, cfg_, cam, film_c, iteration, key,
+                    shard=(idx, n_g),
+                )
+
+            chunk_fn = jax.jit(_chunk, donate_argnums=(1,))
+            idx_blocks = [
+                jnp.arange(c * sz, (c + 1) * sz, dtype=jnp.int32)
+                for c in range(chunks)
+            ]
+
+            def _step(cam, film, iteration, key):
+                xs, ys, zs = [], [], []
+                alive = jnp.zeros((static_.trace_depth,), jnp.int32)
+                for c in range(chunks):
+                    sl = slice(c * sz, (c + 1) * sz)
+                    film_c = Vec3(film.x[sl], film.y[sl], film.z[sl])
+                    film_c, a = chunk_fn(
+                        cam, film_c, iteration, key, idx_blocks[c]
+                    )
+                    xs.append(film_c.x)
+                    ys.append(film_c.y)
+                    zs.append(film_c.z)
+                    alive = alive + a
+                film = Vec3(
+                    jnp.concatenate(xs), jnp.concatenate(ys), jnp.concatenate(zs)
+                )
+                return film, alive
+
+            self._step = _step  # host loop of per-chunk jits, NOT one jit
+            self._iter_fn = _step
+            self._step_many_cache = {}
+            return
+
         on_cpu = jax.default_backend() == "cpu"
         use_fused_iter = (
             cfg_.integrator == "megakernel"
@@ -283,8 +334,12 @@ class Renderer:
         # spp than requested -- callers track self.iteration, which always
         # reflects what actually ran.
         n_disp = max(1, -(-k // stride))
-        if n_disp == 1:
-            self.step(sync=sync)
+        if n_disp == 1 or self.cfg.pixel_chunks > 1:
+            # Chunked mode steps from the host (jitting the chunk loop into
+            # one fori program would rebuild exactly the oversized program
+            # chunking exists to avoid).
+            for i in range(n_disp):
+                self.step(sync=sync and i == n_disp - 1)
             return
         args = (
             self._cam_state, self.film,
