@@ -82,23 +82,33 @@ def main():
         binned_tiers=cfg.mxu_binned_tiers, binned_budget_rays=n,
     )
 
-    def timed(name, stage):
-        """stage: jnp[n] -> array; chained k times through a scalar dep."""
+    def timed(name, stage, seed_x=None, k=None):
+        """stage: jnp[n] -> array; chained k times through a scalar dep.
+        Transient tunnel errors (HTTP 500 / truncated body) skip the stage
+        instead of killing the run.  Whole-bounce stages pass a small k:
+        chaining 16 copies of the full bounce program exceeds the
+        TpuExecutableProto serialization limit (observed 2.7 GB metadata)."""
+        k = k or args.k
 
         def chain(x0):
             x = x0
-            for _ in range(args.k):
+            for _ in range(k):
                 out = stage(x)
                 x = x0 + 0.0 * jnp.ravel(out)[0]
             return x
 
-        f = jax.jit(chain)
-        out = f(paths.origin.x)
-        device_sync(out)
-        t0 = time.perf_counter()
-        out = f(paths.origin.x)
-        device_sync(out)
-        ms = (time.perf_counter() - t0) * 1e3 / args.k
+        x0 = paths.origin.x if seed_x is None else seed_x
+        try:
+            f = jax.jit(chain)
+            out = f(x0)
+            device_sync(out)
+            t0 = time.perf_counter()
+            out = f(x0)
+            device_sync(out)
+        except Exception as e:  # noqa: BLE001 -- tunnel flakiness
+            print(f"{name:34s}  ERROR {str(e)[:120]}", flush=True)
+            return float("nan")
+        ms = (time.perf_counter() - t0) * 1e3 / k
         print(f"{name:34s} {ms:8.2f} ms", flush=True)
         return ms
 
@@ -140,7 +150,26 @@ def main():
     timed("rng uniforms_at x3", lambda x: prng.uniforms_at(
         skey, with_x(x).pixel, 3, n)[0] + 0.0 * x[0])
 
-    def isect_only(x):
+    # Production kernel conditions: the persistent sort has ALREADY packed
+    # the state -- time the kernel on the sorted population.
+    s_paths, s_tlim = fused._permute_bounce_state(paths, t_lim0, perm0, max_id=n)
+    s_paths = jax.tree_util.tree_map(jnp.asarray, s_paths)
+    s_tlim = jnp.asarray(s_tlim)
+
+    def with_xs(x):
+        return s_paths._replace(origin=s_paths.origin._replace(x=x))
+
+    def isect_sorted(x):
+        p = with_xs(x)
+        mh = m.mesh_intersect_mxu(
+            tables, r.static.num_triangles, r.static.mxu_padded_tris,
+            p.origin, p.direction, p.alive, s_tlim, cfg.baby_epsilon,
+            sort_rays=False, mesh_bounds=r.static.mesh_bounds,
+            interpret=interpret, compute_uv=False, **flags,
+        )
+        return mh.t
+
+    def isect_unsorted(x):
         p = with_x(x)
         mh = m.mesh_intersect_mxu(
             tables, r.static.num_triangles, r.static.mxu_padded_tris,
@@ -150,11 +179,36 @@ def main():
         )
         return mh.t
 
-    ms_isect = timed("MXU intersect (persistent order)", isect_only)
+    # Plan prepass alone (the XLA slab pass + per-block row sort the
+    # planned/streamed walks consume), on the sorted population.
+    c = tables.center
+    ct = tables.tile_aabb.shape[0]
+    chunk_tiles = min(ct, m.CHUNK_TRIS // m.TRI_TILE)
+
+    def plan_only(x):
+        n_pad = ((n + m.RAY_TILE - 1) // m.RAY_TILE) * m.RAY_TILE
+        pad = lambda v, f=0.0: jnp.pad(v, (0, n_pad - n), constant_values=f)
+        o = jnp.stack([pad(x) - c[0], pad(s_paths.origin.y) - c[1],
+                       pad(s_paths.origin.z) - c[2]], 1)
+        d = jnp.stack([pad(s_paths.direction.x), pad(s_paths.direction.y),
+                       pad(s_paths.direction.z)], 1)
+        one = pad(s_paths.alive.astype(jnp.float32))
+        tlp = pad(s_tlim, 3.4e38)
+        acc = None
+        for g0 in range(0, ct, chunk_tiles):
+            ids, tlo, cnt = m._build_tile_plan(
+                tables.tile_aabb[g0:g0 + chunk_tiles], o, d, one, tlp
+            )
+            acc = cnt if acc is None else acc + cnt
+        return acc.astype(jnp.float32)
+
+    timed("tile plan prepass (XLA)", plan_only, seed_x=s_paths.origin.x)
+    timed("MXU intersect (SORTED state)", isect_sorted, seed_x=s_paths.origin.x)
+    timed("MXU intersect (unsorted A/B)", isect_unsorted)
 
     mh0 = m.mesh_intersect_mxu(
         tables, r.static.num_triangles, r.static.mxu_padded_tris,
-        paths.origin, paths.direction, paths.alive, t_lim0,
+        s_paths.origin, s_paths.direction, s_paths.alive, s_tlim,
         cfg.baby_epsilon, sort_rays=False,
         mesh_bounds=r.static.mesh_bounds, interpret=interpret,
         compute_uv=False, **flags,
@@ -175,7 +229,7 @@ def main():
             su_key=skey, interpret=interpret, resort=True, rng_n=n,
         ).origin.x
 
-    timed("WHOLE fused bounce (sorted)", bounce_whole)
+    timed("WHOLE fused bounce (sorted)", bounce_whole, k=4)
 
     def bounce_tiered(x):
         return fused.fused_mesh_bounce(
@@ -185,7 +239,7 @@ def main():
             rng_n=n,
         ).origin.x
 
-    timed("WHOLE fused bounce (tiers 4,2)", bounce_tiered)
+    timed("WHOLE fused bounce (tiers 4,2)", bounce_tiered, k=4)
 
 
 if __name__ == "__main__":
