@@ -137,6 +137,16 @@ class RenderConfig:
     # on v5e), streamed for everything else (intersect_mxu.
     # resolve_traversal_mode).
     mxu_traversal: str = "auto"
+    # Tile-plan builder for the planned/streamed walks: "exact" = the
+    # per-ray O(N*Ct) slab sweep; "frustum" = O(NB*Ct) interval-arithmetic
+    # slabs on per-block ray envelopes -- a conservative SUPERSET plan, so
+    # results stay bit-identical by the candidate contract, at ~1/256 the
+    # prepass cost (measured 3.6 ms -> ~0.3 ms/bounce at 640k rays, even
+    # at five tiles: the exact pass is HBM-intermediate-bound).  "auto" =
+    # frustum whenever the ray state is coherence-sorted (tight block
+    # envelopes; unsorted envelopes are scene-wide and would admit every
+    # tile), exact otherwise.
+    mxu_plan: str = "auto"
     # Live-prefix tiers for the binned traversal, as divisors of the ray
     # count (ascending coverage): the smallest prefix holding every live
     # ray engages; beyond the largest, the streamed walk runs.  Each tier

@@ -95,6 +95,10 @@ def megakernel_iteration(
     # short-circuit keeps ``d`` out of Python bool context, so a rolled
     # fori_loop (unroll_bounces=False) still traces.
     tex_sorted = use_fused_tex and fused.tex_sort_active(cfg)
+    # Cross-bounce (t_lim, key) emission of the fused mesh path's shade
+    # kernel; a mutable cell because the unrolled Python loop closes over
+    # it (the fused mesh path forces unroll=True below).
+    mesh_carry = [None]
 
     def bounce(d, carry):
         paths, alive_counts = carry
@@ -115,8 +119,12 @@ def megakernel_iteration(
             # d is a Python int (the bounce loop is unrolled when the fused
             # mesh path is active); resort every ray_sort_every bounces.
             # Uniforms are drawn inside, elementwise at each slot's pixel id
-            # (gather-free, permutation-invariant).
-            paths = fused.fused_mesh_bounce(
+            # (gather-free, permutation-invariant).  Each bounce's shade
+            # kernel emits the NEXT bounce's (prim t_lim, sort key) as
+            # epilogue planes, threaded through ``mesh_carry`` -- the XLA
+            # prim-t and key-build stages then run only at bounce 0.
+            want = d < depth - 1
+            out = fused.fused_mesh_bounce(
                 dev, static, cfg, paths, su_key=skey,
                 interpret=fused_interpret,
                 resort=(
@@ -124,7 +132,13 @@ def megakernel_iteration(
                     and (d > 0 or cfg.ray_sort_first_bounce)
                 ),
                 rng_n=n_global,
+                carry=mesh_carry[0],
+                want_carry=want,
             )
+            if want:
+                paths, mesh_carry[0] = out
+            else:
+                paths = out
         elif use_fused_tex:
             # Liveness-pack resort (tex_sort_active) from bounce 1 on (all
             # camera rays are alive at d=0, so a d=0 sort is pure cost).

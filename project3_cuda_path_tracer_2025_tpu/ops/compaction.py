@@ -18,6 +18,7 @@ implementation and the jnp oracle.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -33,19 +34,32 @@ def permute_path_state(
     perm: jnp.ndarray,
     extra: tuple = (),
     max_id: int = None,
+    packed: bool = None,
 ):
-    """Apply ``perm`` to the whole path state with ONE packed [N, 9+E+2]
-    f32 row gather instead of that many separate [N] gathers (TPU gathers
-    pay per launch, not per element at these row widths).  ``extra`` f32
-    columns (e.g. the fused mesh path's t_lim) ride in the same gather and
-    are returned permuted.  Small ints ride as VALUE-cast f32 -- exact
-    below 2**24 (bitcasting would make denormals, which TPU float paths
-    flush to 0) -- where the bound is on the int VALUES: ``max_id`` must
-    be the global pixel count under shard_map (the local slice holds
-    GLOBAL pixel ids); past it the ints take their own i32 row gather.
+    """Apply ``perm`` to the whole path state.
+
+    ``packed=True``: ONE packed [N, 9+E+2] f32 row gather (stack + gather
+    + unpack).  ``packed=False``: one [N] gather per field, fused by XLA
+    into their consumers.  Round-3 folklore said packed wins (per-field
+    "~13x more gather launches"), but those stage timings carried a
+    ~22 ms device_sync inside the measurement window: sync-calibrated
+    microbenches (scripts/bench_permute_prims.py) put 12 separate [N]
+    gathers at ~0.8 ms vs ~3.4 ms for the production stack+gather+unpack
+    at 640k rays -- the stack/unpack passes, not the gathers, were the
+    cost.  Default (None) resolves to the env knob PTT_PACKED_PERMUTE
+    so hardware A/Bs need no edits (stays packed until the frame-level
+    per-field A/B lands).
+    Results are identical either way (same rows, same values; the packed
+    path's int VALUE-cast is exact below 2**24 -- ``max_id`` must be the
+    global pixel count under shard_map; past it ints take an i32 gather).
 
     Returns ``(paths, extras)`` with ``extras`` a tuple matching ``extra``.
     """
+    if packed is None:
+        packed = os.environ.get("PTT_PACKED_PERMUTE", "1") == "1"
+    if not packed:
+        out = jax.tree_util.tree_map(lambda a: a[perm], paths)
+        return out, tuple(e[perm] for e in extra)
     n = paths.pixel.shape[0]
     ints_fit = max(n, max_id or 0) < (1 << 24)
     cols = [

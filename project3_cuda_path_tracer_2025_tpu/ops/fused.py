@@ -202,19 +202,45 @@ def _mesh_bounce_kernel(
     prim_static: SceneStatic,  # static with num_triangles=0 (prims only)
     cfg: RenderConfig,
     mode: str,  # "plain" | "textured" | "precomputed"
+    rng_n: int,  # 0 = uniforms arrive as input planes; else draw INLINE
+    emit: str,  # "" | "tlim" | "tlim+key": next-bounce epilogue outputs
     # refs: inputs (mar/mag/mab present unless "plain")
     *refs,
 ):
+    n_out = 10 + (1 if emit else 0) + (1 if emit == "tlim+key" else 0)
+    base = 18 if mode in ("textured", "precomputed") else 15
     if mode in ("textured", "precomputed"):
         (ox, oy, oz, dx, dy, dz, cr, cg, cb, bn,
-         mt, mnx, mny, mnz, mmat, mar, mag, mab,
-         u0, u1, u2,
-         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_cr, o_cg, o_cb, o_bn) = refs
+         mt, mnx, mny, mnz, mmat, mar, mag, mab) = refs[:base]
     else:
         (ox, oy, oz, dx, dy, dz, cr, cg, cb, bn,
-         mt, mnx, mny, mnz, mmat,
-         u0, u1, u2,
-         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_cr, o_cg, o_cb, o_bn) = refs
+         mt, mnx, mny, mnz, mmat) = refs[:base]
+    outs = refs[-n_out:]
+    (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_cr, o_cg, o_cb, o_bn) = outs[:10]
+    if rng_n:
+        # Per-pixel uniforms drawn IN-KERNEL: inline threefry at the same
+        # (key, j*rng_n + pixel) counters as ``prng.uniforms_at`` --
+        # bit-identical bits (tests/test_prng.py), minus a 2.2 ms/bounce
+        # XLA stage and three [N] HBM planes through the kernel.  The key
+        # words live in SMEM: true scalars broadcast into any vector shape
+        # (a VMEM [1, 1] slice at a lane offset cannot -- Mosaic "broadcast
+        # in both sublanes and lanes").
+        px, keyr = refs[base], refs[base + 1]
+        k0 = keyr[0].astype(jnp.uint32)
+        k1 = keyr[1].astype(jnp.uint32)
+        flat = px[:].astype(jnp.uint32)
+        us = [
+            prng.bits_to_uniform(
+                prng.threefry_bits_inline(
+                    k0, k1, jnp.uint32(j * rng_n) + flat
+                )
+            )
+            for j in range(3)
+        ]
+        uni = (us[0], us[1], us[2])
+    else:
+        u0, u1, u2 = refs[base : base + 3]
+        uni = (u0[:], u1[:], u2[:])
     paths = PathState(
         origin=Vec3(ox[:], oy[:], oz[:]),
         direction=Vec3(dx[:], dy[:], dz[:]),
@@ -279,7 +305,7 @@ def _mesh_bounce_kernel(
         isect,
         normal,
         albedo, emitt, refl, refr, ior, rough, metal,
-        (u0[:], u1[:], u2[:]),
+        uni,
         lobes=shade_ops.lobes_present(prim_static),
     )
     o_ox[:] = out.origin.x
@@ -293,9 +319,35 @@ def _mesh_bounce_kernel(
     o_cb[:] = out.color.z
     o_bn[:] = out.bounces
 
+    if emit:
+        # NEXT-bounce epilogue: the scattered rays are known here, so the
+        # next bounce's prim-t prune (and, for small tile counts, its
+        # coherence-sort key) fall out as extra output planes instead of
+        # full-[N] XLA stages.  coherence_key_planes equals the XLA key
+        # exactly (tests/test_intersect_mxu.py); any residual
+        # Mosaic-vs-XLA ulp in t_lim only perturbs a conservative prune
+        # threshold that every traversal shares within the bounce.
+        from .intersect import prim_t_min
+
+        tl_n = prim_t_min(prim_static, cfg, out.origin, out.direction)
+        outs[10][:] = tl_n
+        if emit == "tlim+key":
+            from . import intersect_mxu as mxu
+
+            aabb, cen = refs[base + 2], refs[base + 3]
+            outs[11][:] = mxu.coherence_key_planes(
+                aabb, cen[0], cen[1], cen[2],
+                out.origin.x, out.origin.y, out.origin.z,
+                out.direction.x, out.direction.y, out.direction.z,
+                out.bounces > 0, tl_n,
+            )
+
 
 @functools.partial(
-    jax.jit, static_argnames=("prim_static", "cfg", "interpret", "mode")
+    jax.jit,
+    static_argnames=(
+        "prim_static", "cfg", "interpret", "mode", "rng_n", "emit",
+    ),
 )
 def _fused_mesh_shade(
     prim_static: SceneStatic,
@@ -304,16 +356,23 @@ def _fused_mesh_shade(
     mesh_t: jnp.ndarray,
     mesh_normal: Vec3,
     mesh_mat: jnp.ndarray,  # i32, -1 = no mesh hit
-    uniforms: jnp.ndarray,  # [3, N]
+    uniforms: jnp.ndarray,  # [3, N] (None with su_key: drawn in-kernel)
     mesh_albedo: Vec3 = None,  # textured/precomputed: per-lane albedo
     interpret: bool = False,
     mode: str = None,  # None = infer plain/textured from mesh_albedo
-) -> PathState:
+    su_key: jax.Array = None,  # draw uniforms INLINE at (key, j*rng_n+pixel)
+    rng_n: int = 0,  # global RNG stream length (su_key mode)
+    emit: str = "",  # "" | "tlim" | "tlim+key" (requires su_key)
+    tile_aabb: jnp.ndarray = None,  # [ct, 8] recentered (emit == tlim+key)
+    center: jnp.ndarray = None,  # [3] scene recenter (emit == tlim+key)
+):
     n = paths.pixel.shape[0]
     block = BLOCK_ROWS * 128
     n_pad = ((n + block - 1) // block) * block
     if mode is None:
         mode = "plain" if mesh_albedo is None else "textured"
+    inline_rng = su_key is not None
+    assert not emit or inline_rng, "emit requires the su_key kernel mode"
 
     def prep(x, fill=0):
         return jnp.pad(x, (0, n_pad - n), constant_values=fill).reshape(-1, 128)
@@ -329,32 +388,71 @@ def _fused_mesh_shade(
     ]
     if mode in ("textured", "precomputed"):
         ins += [prep(mesh_albedo.x), prep(mesh_albedo.y), prep(mesh_albedo.z)]
-    ins += [prep(uniforms[0]), prep(uniforms[1]), prep(uniforms[2])]
     rows = n_pad // 128
     grid = (rows // BLOCK_ROWS,)
     bspec = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [bspec] * len(ins)
+    if inline_rng:
+        key_arr = jax.lax.bitcast_convert_type(
+            jax.random.key_data(su_key).astype(jnp.uint32), jnp.int32
+        )
+        ins += [prep(paths.pixel), key_arr]
+        in_specs += [
+            bspec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        if emit == "tlim+key":
+            # Both tile bounds and center ride in SMEM: every bound is
+            # read at a static (row, col) as a true scalar (gated small,
+            # ct*8*4 bytes <= ~0.8 KB).
+            ins += [
+                tile_aabb,
+                center.astype(jnp.float32),
+            ]
+            in_specs += [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
+    else:
+        ins += [prep(uniforms[0]), prep(uniforms[1]), prep(uniforms[2])]
+        in_specs += [bspec] * 3
 
-    kern = functools.partial(_mesh_bounce_kernel, prim_static, cfg, mode)
+    kern = functools.partial(
+        _mesh_bounce_kernel, prim_static, cfg, mode,
+        rng_n if inline_rng else 0, emit,
+    )
     shapes = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 9 + [
         jax.ShapeDtypeStruct((rows, 128), jnp.int32)
     ]
+    out_specs = [bspec] * 10
+    if emit:
+        shapes += [jax.ShapeDtypeStruct((rows, 128), jnp.float32)]
+        out_specs += [bspec]
+    if emit == "tlim+key":
+        shapes += [jax.ShapeDtypeStruct((rows, 128), jnp.int32)]
+        out_specs += [bspec]
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bspec] * len(ins),
-        out_specs=tuple([bspec] * 10),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         out_shape=tuple(shapes),
         interpret=interpret,
     )(*ins)
 
     unp = lambda x: x.reshape(-1)[:n]
-    return PathState(
+    out_paths = PathState(
         origin=Vec3(unp(outs[0]), unp(outs[1]), unp(outs[2])),
         direction=Vec3(unp(outs[3]), unp(outs[4]), unp(outs[5])),
         color=Vec3(unp(outs[6]), unp(outs[7]), unp(outs[8])),
         pixel=paths.pixel,
         bounces=unp(outs[9]),
     )
+    if not emit:
+        return out_paths
+    tlim_n = unp(outs[10])
+    key_n = unp(outs[11]) if emit == "tlim+key" else None
+    return out_paths, (tlim_n, key_n)
 
 
 def fused_mesh_applicable(static: SceneStatic, cfg: RenderConfig) -> bool:
@@ -467,7 +565,6 @@ def _fused_tex_bounce_at(
     """The textured-prim bounce body (possibly over a prefix slice)."""
     import dataclasses
 
-    uniforms = prng.uniforms_at(su_key, paths.pixel, 3, rng_n)
     isect = intersect_scene(dev, static, paths, cfg)
     mid = jnp.clip(isect.material_id, 0, static.num_materials - 1)
     base = vec.select_gather(dev.materials.color, mid)
@@ -478,7 +575,8 @@ def _fused_tex_bounce_at(
     prim_static = dataclasses.replace(static, num_triangles=0)
     return _fused_mesh_shade(
         prim_static, cfg, paths, isect.t, shading_normal, isect.material_id,
-        uniforms, mesh_albedo=albedo, interpret=interpret, mode="precomputed",
+        None, mesh_albedo=albedo, interpret=interpret, mode="precomputed",
+        su_key=su_key, rng_n=rng_n,
     )
 
 
@@ -507,9 +605,21 @@ def fused_mesh_bounce(
     su_key: jax.Array = None,  # stage key: draw per-pixel uniforms in place
     rng_n: int = None,  # global pixel count for the RNG stream (shard_map:
     #                     the local block draws from the GLOBAL stream)
-) -> PathState:
+    carry: tuple = None,  # previous bounce's (t_lim, key|None) emission
+    want_carry: bool = False,  # emit this bounce's pair; returns a tuple
+):
     """One full mesh-scene bounce: prim-t prepass + sorted MXU intersect +
     attr resolve/interp (XLA) + the fused prim-intersect/merge/shade kernel.
+
+    ``carry``/``want_carry`` thread the shade kernel's next-bounce
+    epilogue (t_lim and, for small tile counts, the coherence-sort key)
+    across bounces: the caller's bounce loop passes each bounce's
+    emission into the next, eliminating the per-bounce XLA prim-t and
+    key-build stages.  With ``want_carry`` the return is
+    ``(paths, (t_lim, key|None))``; the carry rows live in the CURRENT
+    sorted order, and rows past an engaged prefix tier are dead by the
+    tier invariant, so their constant tails (FLT_MAX / the dead sentinel)
+    are exact.
 
     With ``cfg.bounce_prefix_tiers`` set, the ENTIRE bounce runs over a
     static prefix of the ray state: the persistent coherence sort (3-level
@@ -536,13 +646,14 @@ def fused_mesh_bounce(
     # round-3 "tiers+binned" regression (952 vs 659 ms at 200k) was the
     # slice-local budget overflowing on mid bounces and silently falling
     # back to the streamed walk every frame.
-    body = lambda head: _fused_mesh_bounce_at(
+    body = lambda head, head_carry: _fused_mesh_bounce_at(
         dev, static, cfg, head, uniforms, interpret, resort, su_key,
         rng_n, sort_rays, budget_anchor_n=n,
+        carry=head_carry, want_carry=want_carry,
     )
     if not npres:
-        return body(paths)
-    return run_tiered(paths, npres, body)
+        return body(paths, carry)
+    return run_tiered_carry(paths, carry, npres, body, want_carry)
 
 
 def tier_sizes(n: int, tiers) -> list:
@@ -557,6 +668,60 @@ def tier_sizes(n: int, tiers) -> list:
         if 0 < npre < n and npre not in npres:
             npres.append(npre)
     return npres
+
+
+def run_tiered_carry(paths, carry, npres, body, want_carry):
+    """``run_tiered`` for carry-threading bodies: slices BOTH the path
+    state and the incoming (t_lim, key|None) carry to the engaged prefix,
+    and rebuilds full-N outputs with constant tails -- exact, because any
+    row outside an engaged tier is dead (the tier predicate), whose t_lim
+    is never read and whose key must be the dead sentinel."""
+    n = paths.pixel.shape[0]
+    live_pos = jnp.max(
+        jnp.where(paths.alive, jax.lax.iota(jnp.int32, n), -1)
+    )
+    tmap = jax.tree_util.tree_map
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+
+    def slice_carry(npre):
+        if carry is None:
+            return None
+        t_lim, key = carry
+        return (t_lim[:npre], None if key is None else key[:npre])
+
+    def tier_at(npre):
+        def branch(_):
+            head = tmap(lambda a: a[:npre], paths)
+            out = body(head, slice_carry(npre))
+            out_p, out_c = out if want_carry else (out, None)
+            tail = tmap(lambda a: a[npre:], paths)
+            full_p = tmap(cat, out_p, tail)
+            if not want_carry:
+                return full_p
+            if out_c is None:
+                return full_p, None
+            tl_n, key_n = out_c
+            full_tl = cat(
+                tl_n, jnp.full((n - npre,), 3.402823466e38, jnp.float32)
+            )
+            full_key = None
+            if key_n is not None:
+                full_key = cat(
+                    key_n,
+                    jnp.full((n - npre,), (1 << 30) + 1, jnp.int32),
+                )
+            return full_p, (full_tl, full_key)
+
+        return branch
+
+    chain = lambda _: body(paths, carry)
+    for npre in reversed(sorted(npres)):
+        chain = (
+            lambda _, npre=npre, nxt=chain: jax.lax.cond(
+                live_pos < npre, tier_at(npre), nxt, None
+            )
+        )
+    return chain(None)
 
 
 def run_tiered(paths: PathState, npres: list, body) -> PathState:
@@ -604,28 +769,49 @@ def _fused_mesh_bounce_at(
     rng_n: int,
     sort_rays: bool,
     budget_anchor_n: int = None,
-) -> PathState:
-    """The bounce body (possibly over a prefix slice of the ray state)."""
+    carry: tuple = None,  # (t_lim, key|None) emitted by the PREVIOUS bounce
+    want_carry: bool = False,
+):
+    """The bounce body (possibly over a prefix slice of the ray state).
+
+    With ``carry`` (the previous shade kernel's epilogue outputs, in the
+    current row order), the XLA prim-t prepass -- and, when the key rode
+    along, the whole coherence-key build -- are skipped: the sort becomes
+    one argsort.  ``want_carry`` asks THIS bounce's kernel to emit the
+    next pair; the return is then ``(paths, (t_lim_next, key_next|None))``.
+    """
     import dataclasses
 
     from . import intersect_mxu
     from .intersect import prim_t_min
 
-    t_lim = prim_t_min(static, cfg, paths.origin, paths.direction)
+    ckey = None
+    if carry is not None:
+        t_lim, ckey = carry
+    else:
+        t_lim = prim_t_min(static, cfg, paths.origin, paths.direction)
 
     if sort_rays and resort:
-        mode = "signature" if cfg.ray_sort_mode == "auto" else cfg.ray_sort_mode
-        perm = intersect_mxu.coherence_perm(
-            dev.mxu_mesh, paths.origin, paths.direction, paths.alive,
-            t_lim, cfg.ray_sort_bits, cfg.ray_sort_dir_bits, mode=mode,
-        )
+        if ckey is not None:
+            perm = jnp.argsort(ckey)
+        else:
+            mode = (
+                "signature" if cfg.ray_sort_mode == "auto"
+                else cfg.ray_sort_mode
+            )
+            perm = intersect_mxu.coherence_perm(
+                dev.mxu_mesh, paths.origin, paths.direction, paths.alive,
+                t_lim, cfg.ray_sort_bits, cfg.ray_sort_dir_bits, mode=mode,
+            )
         paths, t_lim = _permute_bounce_state(paths, t_lim, perm, max_id=rng_n)
     if su_key is not None:
         # Per-pixel RNG evaluated IN PLACE at each slot's pixel id (a slot's
         # random stream follows its PIXEL, so any permutation history is
-        # invisible): elementwise threefry, no gather.  rng_n is the GLOBAL
-        # stream length (resolved before any prefix slicing).
-        uniforms = prng.uniforms_at(su_key, paths.pixel, 3, rng_n)
+        # invisible) -- drawn INSIDE the fused shade kernel (inline
+        # threefry, bit-identical to prng.uniforms_at; see
+        # _mesh_bounce_kernel).  rng_n is the GLOBAL stream length
+        # (resolved before any prefix slicing).
+        uniforms = None
     elif sort_rays:
         # Pixel-order planes were passed: route them through the (possibly
         # historical) permutation with one [N, 3] row gather.
@@ -642,6 +828,9 @@ def _fused_mesh_bounce_at(
         cfg.baby_epsilon,
         sort_rays=False,  # persistent: state is already in sorted order
         mesh_bounds=static.mesh_bounds,
+        plan_frustum=intersect_mxu.resolve_plan_frustum(
+            cfg.mxu_plan, sort_rays
+        ),
         interpret=interpret,
         compute_uv=False,
         **intersect_mxu.traversal_flags(
@@ -714,11 +903,25 @@ def _fused_mesh_bounce_at(
         mesh_normal = vec.where(tri_hit, mesh_normal, Vec3.zeros(uu.shape))
 
     prim_static = dataclasses.replace(static, num_triangles=0)
-    return _fused_mesh_shade(
+    emit = ""
+    if want_carry and su_key is not None:
+        ct = dev.mxu_mesh.tile_aabb.shape[0]
+        emit = (
+            "tlim+key" if ct <= intersect_mxu.KEY_INLINE_MAX_CT else "tlim"
+        )
+    out = _fused_mesh_shade(
         prim_static, cfg, paths, mh.t, mesh_normal, mesh_mat, uniforms,
         mesh_albedo=mesh_albedo,
         interpret=interpret,
+        su_key=su_key,
+        rng_n=rng_n if su_key is not None else 0,
+        emit=emit,
+        tile_aabb=dev.mxu_mesh.tile_aabb if emit == "tlim+key" else None,
+        center=dev.mxu_mesh.center if emit == "tlim+key" else None,
     )
+    if want_carry:
+        return out if emit else (out, None)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -432,6 +432,9 @@ def intersect_scene(
                 sort_bits=cfg.ray_sort_bits,
                 sort_dir_bits=cfg.ray_sort_dir_bits,
                 mesh_bounds=static.mesh_bounds,
+                plan_frustum=intersect_mxu.resolve_plan_frustum(
+                    cfg.mxu_plan, sort_rays
+                ),
                 interpret=jax.default_backend() == "cpu",
                 compute_uv=False,  # derived below from the resolved rows
                 **intersect_mxu.traversal_flags(

@@ -473,6 +473,108 @@ def _signature_keys(
     return jnp.where(livem, sig, jnp.int32(1 << 30))
 
 
+def coherence_key_planes(
+    aabb_rows, cx, cy, cz, ox, oy, oz, dx, dy, dz, alive, t_limit,
+) -> jnp.ndarray:
+    """``coherence_perm``'s KEY (root mask + signature + dead-sentinel
+    layering) for Pallas kernels: arbitrary array shapes (the fused shade
+    kernel's [BLOCK_ROWS, 128] planes), a static Python loop over tiles
+    (callers gate on small tile counts -- see KEY_INLINE_MAX_CT), and
+    [1, 1]-slice broadcasting instead of [N, TC] intermediates.  The key
+    layout matches ``_signature_keys`` bit-for-bit intent-wise, but exact
+    equality with the XLA builder is NOT required: any permutation is
+    bit-exact downstream (the sort is a pure permutation; RNG is
+    pixel-keyed) -- only block homogeneity, i.e. speed, depends on it.
+
+    ``aabb_rows``: [ct, 8] recentered tile bounds (an SMEM kernel ref or a
+    jnp array -- indexed at STATIC (row, col) so every bound is a true
+    scalar; Mosaic cannot broadcast lane-offset [1, 1] VMEM slices);
+    ``cx/cy/cz``: scene-center scalars; ``alive``: bool; ``t_limit``: f32
+    (the NEXT bounce's prim prune)."""
+    ct = aabb_rows.shape[0]
+    bits_id = max(1, (ct - 1).bit_length()) if ct > 1 else 1
+    n_sig = 3 if 3 * bits_id <= 30 else 2
+    dir_total = min(6, 30 - n_sig * bits_id)
+    id_mask = jnp.int32((1 << bits_id) - 1)
+    sentinel = jnp.int32(0x7FFFFFFF)
+
+    osx, osy, osz = ox - cx, oy - cy, oz - cz
+    invx = 1.0 / jnp.where(dx == 0.0, 1e-20, dx)
+    invy = 1.0 / jnp.where(dy == 0.0, 1e-20, dy)
+    invz = 1.0 / jnp.where(dz == 0.0, 1e-20, dz)
+
+    def slab(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
+        t1x, t2x = (lo_x - osx) * invx, (hi_x - osx) * invx
+        t1y, t2y = (lo_y - osy) * invy, (hi_y - osy) * invy
+        t1z, t2z = (lo_z - osz) * invz, (hi_z - osz) * invz
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        return tlo, thi
+
+    # Per-ray BVH-root test (root_hit_mask, k=2 widen) from the tile
+    # envelope -- static scalar reductions over the [ct, 8] rows.
+    r_lo = [aabb_rows[0, a] for a in range(3)]
+    r_hi = [aabb_rows[0, 3 + a] for a in range(3)]
+    for c in range(1, ct):
+        for a in range(3):
+            r_lo[a] = jnp.minimum(r_lo[a], aabb_rows[c, a])
+            r_hi[a] = jnp.maximum(r_hi[a], aabb_rows[c, 3 + a])
+    tlo_r, thi_r = slab(*r_lo, *r_hi)
+    tlo_r, thi_r = _widen_slab(tlo_r, thi_r, k=2)
+    root = (thi_r >= tlo_r) & (thi_r > 0.0) & (tlo_r < t_limit)
+    livem = alive & root
+
+    # Top-n_sig nearest candidate tiles by incremental sorted insertion of
+    # the packed (coarse tlo bits | tile id) candidate, one tile at a time.
+    tops = [jnp.full(osx.shape, sentinel, jnp.int32) for _ in range(n_sig)]
+    for c in range(ct):
+        tlo, thi = slab(
+            aabb_rows[c, 0], aabb_rows[c, 1], aabb_rows[c, 2],
+            aabb_rows[c, 3], aabb_rows[c, 4], aabb_rows[c, 5],
+        )
+        hit = (thi >= tlo) & (thi > 0.0) & (tlo < t_limit) & livem
+        b = jax.lax.bitcast_convert_type(jnp.maximum(tlo, 0.0), jnp.int32)
+        p = jnp.where(hit, (b & ~id_mask) | jnp.int32(c), sentinel)
+        for k in range(n_sig):
+            lo_k = jnp.minimum(tops[k], p)
+            p = jnp.maximum(tops[k], p)
+            tops[k] = lo_k
+
+    sig = jnp.where(tops[0] == sentinel, id_mask, tops[0] & id_mask)
+    for k in range(1, n_sig):
+        idk = jnp.where(tops[k] == sentinel, id_mask, tops[k] & id_mask)
+        sig = (sig << bits_id) | idk
+    if dir_total >= 3:
+        db = dir_total // 3
+        dscale = (1 << db) - 1
+
+        def qd(d):
+            t = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
+            return (t * dscale).astype(jnp.int32)
+
+        dmorton = (
+            _morton_spread3(qd(dx))
+            | (_morton_spread3(qd(dy)) << 1)
+            | (_morton_spread3(qd(dz)) << 2)
+        )
+        sig = (sig << (3 * db)) | dmorton
+    key = jnp.where(livem, sig, jnp.int32(1 << 30))
+    return jnp.where(alive, key, jnp.int32((1 << 30) + 1))
+
+
+# In-kernel coherence keys unroll a per-tile slab loop inside the fused
+# shade kernel; past this tile count the unrolled loop's VPU cost exceeds
+# the XLA key build it replaces (the XLA builder is chunked [N, 16] slab
+# passes whose cost is flat-ish in ct).
+KEY_INLINE_MAX_CT = 24
+
+
 def coherence_perm(
     tables: MXUMeshTables,
     ro: Vec3,
@@ -728,7 +830,94 @@ def _build_tile_plan(tile_aabb, o, d, one, tl):
     return order.reshape(-1), tlo_sorted.reshape(-1), cnt
 
 
-def _plan_with_prefix(aabb_c, rayf_c, tlim_c):
+def _build_tile_plan_frustum(tile_aabb, o, d, one, tl):
+    """Block-FRUSTUM tile plan: ``_build_tile_plan``'s API at ~1/RAY_TILE of
+    its cost, via interval arithmetic on per-block ray envelopes.
+
+    The exact plan's per-(ray, tile) slab sweep is O(N*Ct) with [N, 16]
+    f32 intermediates -- measured 3.6 ms/bounce at 640k rays even at FIVE
+    tiles (the pass is HBM-intermediate-bound, not flop-bound).  But with
+    the coherence sort on, a block's 256 rays share a tight (origin box,
+    direction cone) frustum, so ONE interval slab test per (block, tile)
+    pair -- O(NB*Ct), a few thousand rows -- bounds every member ray's
+    entry/exit interval at once:
+
+      per-ray   tlo = max_axis min(t1, t2)  >=  max_axis lower(t1I, t2I)
+      per-ray   thi = min_axis max(t1, t2)  <=  min_axis upper(t1I, t2I)
+
+    where t1I/t2I are interval products of (bound - origin-interval) with
+    the direction-reciprocal interval.  Axes whose direction interval
+    straddles 0 contribute (-inf, +inf) -- fully conservative.  The
+    resulting (candidate set, entry lower bound) is therefore a SUPERSET /
+    true lower bound of the exact plan's for every live member ray, which
+    is all the candidate-set contract requires (supersets are speed, never
+    correctness; the kernels' per-ray member test still gates every
+    evaluation, so results stay bit-identical BY CONSTRUCTION).  k=2
+    widening as for every XLA-side cull, plus the same max(tlo, 0) clamp.
+
+    Unsorted ray states remain correct but their envelopes are scene-wide
+    (the plan admits ~every tile): callers enable this only on coherence-
+    sorted populations (``plan_mode="auto"``)."""
+    n_pad = o.shape[0]
+    nb = n_pad // RAY_TILE
+    ct = tile_aabb.shape[0]
+    big = jnp.float32(3.0e38)
+    live = (one > 0.0).reshape(nb, RAY_TILE, 1)
+    om = o.reshape(nb, RAY_TILE, 3)
+    dm = d.reshape(nb, RAY_TILE, 3)
+    o_lo = jnp.min(jnp.where(live, om, big), axis=1)  # [nb, 3]
+    o_hi = jnp.max(jnp.where(live, om, -big), axis=1)
+    d_lo = jnp.min(jnp.where(live, dm, big), axis=1)
+    d_hi = jnp.max(jnp.where(live, dm, -big), axis=1)
+    tl_hi = jnp.max(
+        jnp.where(live[:, :, 0], tl.reshape(nb, RAY_TILE), -big), axis=1
+    )  # [nb]
+    has_live = jnp.any(live[:, :, 0], axis=1)  # [nb]
+
+    # Direction-reciprocal interval per (block, axis).  Same-sign intervals
+    # invert cleanly; sign-straddling (or zero-touching) axes get the
+    # conservative (-inf, inf) -- jnp.where keeps the inf arithmetic out of
+    # the same-sign path.  (Per-ray code maps d==0 to 1/1e-20 > 0, which the
+    # straddle branch dominates.)
+    same = (d_lo > 0.0) | (d_hi < 0.0)
+    safe_lo = jnp.where(same, d_lo, 1.0)
+    safe_hi = jnp.where(same, d_hi, 1.0)
+    i0 = jnp.where(same, 1.0 / safe_hi, -big)  # [nb, 3]
+    i1 = jnp.where(same, 1.0 / safe_lo, big)
+    i_lo = jnp.minimum(i0, i1)
+    i_hi = jnp.maximum(i0, i1)
+
+    def islab(bound):  # bound [ct, 3] -> (t_lo [nb, ct, 3], t_hi)
+        u_lo = bound[None, :, :] - o_hi[:, None, :]  # [nb, ct, 3]
+        u_hi = bound[None, :, :] - o_lo[:, None, :]
+        p1 = u_lo * i_lo[:, None, :]
+        p2 = u_lo * i_hi[:, None, :]
+        p3 = u_hi * i_lo[:, None, :]
+        p4 = u_hi * i_hi[:, None, :]
+        return (
+            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+        )
+
+    t1_lo, t1_hi = islab(tile_aabb[:, 0:3])
+    t2_lo, t2_hi = islab(tile_aabb[:, 3:6])
+    ta_lo = jnp.minimum(t1_lo, t2_lo)  # lower hull of per-ray min(t1, t2)
+    tb_hi = jnp.maximum(t1_hi, t2_hi)  # upper hull of per-ray max(t1, t2)
+    tlo = jnp.max(ta_lo, axis=2)  # [nb, ct] lower bound of per-ray entry
+    thi = jnp.min(tb_hi, axis=2)  # upper bound of per-ray exit
+    tlo, thi = _widen_slab(tlo, thi, k=2)
+    h = (
+        (thi >= tlo) & (thi > 0.0)
+        & (tlo < tl_hi[:, None]) & has_live[:, None]
+    )
+    key = jnp.where(h, jnp.maximum(tlo, 0.0), jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    tlo_sorted = jnp.take_along_axis(key, order, axis=1)
+    cnt = jnp.sum(h, axis=1).astype(jnp.int32)
+    return order.reshape(-1), tlo_sorted.reshape(-1), cnt
+
+
+def _plan_with_prefix(aabb_c, rayf_c, tlim_c, frustum: bool = False):
     """``_build_tile_plan`` restricted to the live-ray prefix when possible.
 
     The plan's per-(ray, tile) slab sweep is O(N*Ct) but most bounce rays
@@ -743,14 +932,18 @@ def _plan_with_prefix(aabb_c, rayf_c, tlim_c):
     ct = aabb_c.shape[0]
     n_pad_l = rayf_c.shape[0]
     nb = n_pad_l // RAY_TILE
+    builder = _build_tile_plan_frustum if frustum else _build_tile_plan
 
     def full(_):
-        return _build_tile_plan(
+        return builder(
             aabb_c, rayf_c[:, 6:9], rayf_c[:, 0:3], rayf_c[:, 9],
             tlim_c[:, 0],
         )
 
-    if nb < 8:  # tiny ray counts (tests): nothing to prefix
+    if nb < 8 or frustum:
+        # Tiny ray counts (tests) have nothing to prefix; the frustum plan
+        # is O(NB*Ct) + one envelope reduction, already ~free -- dead
+        # blocks yield cnt=0 through has_live without prefix machinery.
         return full(None)
 
     live_pos = jnp.max(
@@ -1465,7 +1658,7 @@ def _run_binned(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
         "sort_mode", "streamed", "binned", "binned_tiers", "binned_topk",
-        "binned_budget_rays",
+        "binned_budget_rays", "plan_frustum",
     ),
 )
 def _run(
@@ -1490,6 +1683,7 @@ def _run(
     binned_tiers: tuple = None,
     binned_topk: int = None,
     binned_budget_rays: int = None,
+    plan_frustum: bool = False,
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -1566,7 +1760,9 @@ def _run(
         kernel walks them with an early exit -- the BVH's ordered descent
         at (256-ray block x TRI_TILE tile) granularity."""
         ct = aabb_c.shape[0]
-        ids, tlo_s, cnt = _plan_with_prefix(aabb_c, rayf_c, tlim_c)
+        ids, tlo_s, cnt = _plan_with_prefix(
+            aabb_c, rayf_c, tlim_c, frustum=plan_frustum
+        )
         kern = functools.partial(_planned_kernel, baby_eps, ct)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -1598,7 +1794,9 @@ def _run(
         double-buffered, early exit is global front-to-back."""
         ctf = aabb_c.shape[0]
         nb = n_pad // RAY_TILE
-        ids, tlo_s, cnt = _plan_with_prefix(aabb_c, rayf_c, tlim_c)
+        ids, tlo_s, cnt = _plan_with_prefix(
+            aabb_c, rayf_c, tlim_c, frustum=plan_frustum
+        )
         # Fixed [NB, 8, 128] plan layout: the per-block DMA slice is then a
         # whole (8, 128) tile -- any other shape trips Mosaic's sublane/lane
         # alignment rules.  Capacity 1024 tiles = 1M triangles (guarded in
@@ -1832,6 +2030,18 @@ BINNED_AUTO_MIN = int(os.environ.get("PTT_BINNED_AUTO_MIN", str(128 * 1024)))
 BINNED_AUTO_MAX = int(os.environ.get("PTT_BINNED_AUTO_MAX", str(320 * 1024)))
 
 
+def resolve_plan_frustum(mxu_plan: str, sorted_state: bool) -> bool:
+    """Resolve ``RenderConfig.mxu_plan`` ("auto" = frustum iff the ray
+    state reaching the planner is coherence-sorted; see config.py)."""
+    if mxu_plan == "frustum":
+        return True
+    if mxu_plan == "exact":
+        return False
+    if mxu_plan == "auto":
+        return bool(sorted_state)
+    raise ValueError(f"unknown mxu_plan mode: {mxu_plan!r}")
+
+
 def resolve_traversal_mode(mode: str, padded_tris: int) -> str:
     """Resolve "auto" to a concrete traversal for this mesh size: planned
     for VMEM-resident meshes (<= CHUNK_TRIS; the feature table lives in
@@ -1903,6 +2113,7 @@ def mesh_intersect_mxu(
     binned_tiers: tuple = None,
     binned_topk: int = None,
     binned_budget_rays: int = None,
+    plan_frustum: bool = False,
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -1930,6 +2141,7 @@ def mesh_intersect_mxu(
         binned_tiers=binned_tiers,
         binned_topk=binned_topk,
         binned_budget_rays=binned_budget_rays,
+        plan_frustum=plan_frustum,
     )
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)

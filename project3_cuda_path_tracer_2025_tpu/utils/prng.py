@@ -62,6 +62,44 @@ def _threefry_bits_at(key: jax.Array, flat: jnp.ndarray) -> jnp.ndarray:
     return b1 ^ b2
 
 
+def threefry_bits_inline(k0, k1, flat) -> jnp.ndarray:
+    """``_threefry_bits_at`` as inlineable uint32 vector ops.
+
+    Mosaic cannot lower the ``threefry2x32_p`` primitive, so Pallas
+    kernels that draw their own per-pixel uniforms (the fused mesh
+    bounce) need the hash spelled out: the standard Threefry-2x32
+    schedule (5 x 4 rounds, rotations (13,15,26,6)/(17,29,16,24), key
+    injections every 4 rounds), applied at counter ``(0, flat)`` --
+    bit-identical to jax's lowering of the primitive (asserted in
+    tests/test_prng.py).  ``k0``/``k1`` may be scalars or broadcastable
+    arrays; all arithmetic wraps in uint32."""
+    k0 = k0.astype(jnp.uint32)
+    k1 = k1.astype(jnp.uint32)
+    flat = flat.astype(jnp.uint32)
+    ks2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    ks = (k0, k1, ks2)
+    rot = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+    x0 = jnp.zeros_like(flat) + ks[0]  # counter hi word is 0
+    x1 = flat + ks[1]
+    for i in range(5):
+        for r in rot[i % 2]:
+            x0 = x0 + x1
+            x1 = (x1 << jnp.uint32(r)) | (x1 >> jnp.uint32(32 - r))
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0 ^ x1
+
+
+def bits_to_uniform(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 random bits -> U[0,1) f32, exactly as ``uniforms_at``."""
+    u = jax.lax.bitcast_convert_type(
+        (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32
+    ) - 1.0
+    return jnp.maximum(0.0, u)
+
+
 def uniforms_at(key: jax.Array, idx: jnp.ndarray, k: int, n: int) -> jax.Array:
     """The rows ``uniforms(key, n, k)[:, idx]`` WITHOUT the gather.
 

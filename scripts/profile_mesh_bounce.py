@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--res", type=int, default=800)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--only", default=None,
+                    help="substring filter: run only matching stages")
     args = ap.parse_args()
 
     if args.cpu:
@@ -82,12 +84,20 @@ def main():
         binned_tiers=cfg.mxu_binned_tiers, binned_budget_rays=n,
     )
 
+    sync_ms = [None]  # measured device_sync round-trip, calibrated below
+
     def timed(name, stage, seed_x=None, k=None):
         """stage: jnp[n] -> array; chained k times through a scalar dep.
+        The ONE device_sync per timing costs a ~22 ms tunnel round-trip
+        which would inflate every stage by 22/k ms (this distorted the
+        round-3 'wrapper stages cost 15 ms' reading) -- an empty-chain
+        calibration run measures it and every stage subtracts sync/k.
         Transient tunnel errors (HTTP 500 / truncated body) skip the stage
         instead of killing the run.  Whole-bounce stages pass a small k:
         chaining 16 copies of the full bounce program exceeds the
         TpuExecutableProto serialization limit (observed 2.7 GB metadata)."""
+        if args.only and not any(s in name for s in args.only.split(",")):
+            return float("nan")
         k = k or args.k
 
         def chain(x0):
@@ -99,6 +109,19 @@ def main():
 
         x0 = paths.origin.x if seed_x is None else seed_x
         try:
+            if sync_ms[0] is None:
+                g = jax.jit(lambda x: x + 1.0)
+                out = g(x0)
+                device_sync(out)
+                reps = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    out = g(out)
+                    device_sync(out)
+                    reps.append(time.perf_counter() - t0)
+                sync_ms[0] = min(reps) * 1e3
+                print(f"{'[sync calibration]':34s} {sync_ms[0]:8.2f} ms",
+                      flush=True)
             f = jax.jit(chain)
             out = f(x0)
             device_sync(out)
@@ -108,7 +131,7 @@ def main():
         except Exception as e:  # noqa: BLE001 -- tunnel flakiness
             print(f"{name:34s}  ERROR {str(e)[:120]}", flush=True)
             return float("nan")
-        ms = (time.perf_counter() - t0) * 1e3 / k
+        ms = ((time.perf_counter() - t0) * 1e3 - sync_ms[0]) / k
         print(f"{name:34s} {ms:8.2f} ms", flush=True)
         return ms
 
@@ -147,6 +170,12 @@ def main():
         return p.origin.x + tl
 
     timed("permute apply [N,12] gather", apply_only)
+
+    def apply_fields(x):
+        p = jax.tree_util.tree_map(lambda a: a[perm0], with_x(x))
+        return p.origin.x + t_lim0[perm0]
+
+    timed("permute apply per-field x12", apply_fields)
     timed("rng uniforms_at x3", lambda x: prng.uniforms_at(
         skey, with_x(x).pixel, 3, n)[0] + 0.0 * x[0])
 
@@ -202,8 +231,60 @@ def main():
             acc = cnt if acc is None else acc + cnt
         return acc.astype(jnp.float32)
 
+    def plan_frustum_only(x):
+        n_pad = ((n + m.RAY_TILE - 1) // m.RAY_TILE) * m.RAY_TILE
+        pad = lambda v, f=0.0: jnp.pad(v, (0, n_pad - n), constant_values=f)
+        o = jnp.stack([pad(x) - c[0], pad(s_paths.origin.y) - c[1],
+                       pad(s_paths.origin.z) - c[2]], 1)
+        d = jnp.stack([pad(s_paths.direction.x), pad(s_paths.direction.y),
+                       pad(s_paths.direction.z)], 1)
+        one = pad(s_paths.alive.astype(jnp.float32))
+        tlp = pad(s_tlim, 3.4e38)
+        acc = None
+        for g0 in range(0, ct, chunk_tiles):
+            ids, tlo, cnt = m._build_tile_plan_frustum(
+                tables.tile_aabb[g0:g0 + chunk_tiles], o, d, one, tlp
+            )
+            acc = cnt if acc is None else acc + cnt
+        return acc.astype(jnp.float32)
+
     timed("tile plan prepass (XLA)", plan_only, seed_x=s_paths.origin.x)
+    timed("frustum plan prepass", plan_frustum_only, seed_x=s_paths.origin.x)
     timed("MXU intersect (SORTED state)", isect_sorted, seed_x=s_paths.origin.x)
+
+    def isect_frustum(x):
+        p = with_xs(x)
+        mh = m.mesh_intersect_mxu(
+            tables, r.static.num_triangles, r.static.mxu_padded_tris,
+            p.origin, p.direction, p.alive, s_tlim, cfg.baby_epsilon,
+            sort_rays=False, mesh_bounds=r.static.mesh_bounds,
+            interpret=interpret, compute_uv=False, plan_frustum=True,
+            **flags,
+        )
+        return mh.t
+
+    timed("MXU intersect (frustum plan)", isect_frustum,
+          seed_x=s_paths.origin.x)
+
+    def isect_mode(mode_flags):
+        def f(x):
+            p = with_xs(x)
+            mh = m.mesh_intersect_mxu(
+                tables, r.static.num_triangles, r.static.mxu_padded_tris,
+                p.origin, p.direction, p.alive, s_tlim, cfg.baby_epsilon,
+                sort_rays=False, mesh_bounds=r.static.mesh_bounds,
+                interpret=interpret, compute_uv=False, **mode_flags,
+            )
+            return mh.t
+        return f
+
+    for alt in ("sweep", "planned", "streamed"):
+        fl = m.traversal_flags(alt, r.static.mxu_padded_tris)
+        if fl == flags:
+            continue
+        timed(f"MXU intersect {alt} (sorted)", isect_mode(fl),
+              seed_x=s_paths.origin.x)
+
     timed("MXU intersect (unsorted A/B)", isect_unsorted)
 
     mh0 = m.mesh_intersect_mxu(

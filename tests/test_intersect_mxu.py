@@ -532,3 +532,44 @@ def test_auto_traversal_policy():
     )
     with pytest.raises(ValueError):
         traversal_flags("bogus", 1024)
+
+
+def test_mxu_frustum_plan_bitexact():
+    """The block-frustum tile plan (interval-arithmetic slabs on per-block
+    ray envelopes) must be bit-identical to the exact per-ray plan for
+    BOTH ordered walks: it is a conservative superset of the exact plan's
+    candidate sets with a true lower-bound entry ordering, and the
+    kernels' per-ray member test gates every evaluation (the candidate
+    contract).  Covers sorted + unsorted states (unsorted envelopes are
+    scene-wide but still correct) and finite t_limits."""
+    rng = np.random.default_rng(49)
+    scene = _random_mesh_scene(rng, n_tris=300)
+    dev, static = build_device_scene(scene)
+
+    n = 700
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.3)
+    lim = jnp.asarray(
+        np.where(rng.random(n) > 0.5, 3.4e38, 2.0), jnp.float32
+    )
+
+    kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds)
+    for sort in (False, True):
+        for mode in (dict(planned=True), dict(streamed=True)):
+            exact = mesh_intersect_mxu(
+                dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+                ro, rd, active, lim, sort_rays=sort,
+                plan_frustum=False, **mode, **kw,
+            )
+            fru = mesh_intersect_mxu(
+                dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+                ro, rd, active, lim, sort_rays=sort,
+                plan_frustum=True, **mode, **kw,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fru.tri), np.asarray(exact.tri)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fru.t), np.asarray(exact.t)
+            )

@@ -39,3 +39,36 @@ def test_uniforms_at_repeated_indices():
     ref = prng.uniforms(key, n, 2)[:, idx]
     got = prng.uniforms_at(key, idx, 2, n)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_threefry_inline_matches_primitive():
+    """``threefry_bits_inline`` (the Pallas-compatible spelled-out hash the
+    fused shade kernel draws with) must reproduce jax's threefry2x32
+    primitive bit-for-bit at the same (key, counter) -- this is what makes
+    the in-kernel RNG draw invisible to every cross-integrator
+    bit-identity test."""
+    import numpy as np
+
+    key = jax.random.key(20260819)
+    kd = jax.random.key_data(key)
+    flat = jnp.asarray(
+        np.random.default_rng(3).integers(0, 2**31, 4096), jnp.uint32
+    )
+    ref = prng._threefry_bits_at(key, flat)
+    inl = prng.threefry_bits_inline(kd[0], kd[1], flat)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(inl))
+
+    n = 9999
+    idx = jnp.asarray(
+        np.random.default_rng(4).integers(0, n, 2048), jnp.int32
+    )
+    ref_u = prng.uniforms_at(key, idx, 3, n)
+    inl_u = jnp.stack([
+        prng.bits_to_uniform(
+            prng.threefry_bits_inline(
+                kd[0], kd[1], jnp.uint32(j * n) + idx.astype(jnp.uint32)
+            )
+        )
+        for j in range(3)
+    ])
+    np.testing.assert_array_equal(np.asarray(ref_u), np.asarray(inl_u))
