@@ -139,13 +139,12 @@ class RenderConfig:
     mxu_traversal: str = "auto"
     # Tile-plan builder for the planned/streamed walks: "exact" = the
     # per-ray O(N*Ct) slab sweep; "frustum" = O(NB*Ct) interval-arithmetic
-    # slabs on per-block ray envelopes -- a conservative SUPERSET plan, so
-    # results stay bit-identical by the candidate contract, at ~1/256 the
-    # prepass cost (measured 3.6 ms -> ~0.3 ms/bounce at 640k rays, even
-    # at five tiles: the exact pass is HBM-intermediate-bound).  "auto" =
-    # frustum whenever the ray state is coherence-sorted (tight block
-    # envelopes; unsorted envelopes are scene-wide and would admit every
-    # tile), exact otherwise.
+    # slabs on per-block ray envelopes -- a conservative SUPERSET plan
+    # (bit-identical results by the candidate contract) whose prepass is
+    # ~free, but whose envelope-hull candidate sets and looser entry
+    # bounds measured a NET frame-level LOSS on v5e (5k 146.3 vs 143.6,
+    # 80k 504 vs 420 ms): extra tile visits + a later-firing early exit
+    # cost more than the prepass saves.  "auto" = exact.
     mxu_plan: str = "auto"
     # Live-prefix tiers for the binned traversal, as divisors of the ray
     # count (ascending coverage): the smallest prefix holding every live

@@ -2031,14 +2031,18 @@ BINNED_AUTO_MAX = int(os.environ.get("PTT_BINNED_AUTO_MAX", str(320 * 1024)))
 
 
 def resolve_plan_frustum(mxu_plan: str, sorted_state: bool) -> bool:
-    """Resolve ``RenderConfig.mxu_plan`` ("auto" = frustum iff the ray
-    state reaching the planner is coherence-sorted; see config.py)."""
+    """Resolve ``RenderConfig.mxu_plan``.  "auto" = EXACT everywhere: the
+    frustum plan measured a NET LOSS at frame level on v5e despite its
+    ~free prepass -- 5k 146.3 vs 143.6 ms, 80k 504 vs 420 (r4 campaign) --
+    because envelope-hull candidate sets admit extra tile visits AND their
+    looser tlo lower bounds fire the ordered walks' early exit later,
+    which costs far more than the O(N*Ct) prepass it saves.  Kept as an
+    explicit option (and a bit-identity test) for future hardware where
+    the trade flips."""
     if mxu_plan == "frustum":
         return True
-    if mxu_plan == "exact":
+    if mxu_plan in ("exact", "auto"):
         return False
-    if mxu_plan == "auto":
-        return bool(sorted_state)
     raise ValueError(f"unknown mxu_plan mode: {mxu_plan!r}")
 
 
