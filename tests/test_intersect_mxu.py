@@ -573,3 +573,38 @@ def test_mxu_frustum_plan_bitexact():
             np.testing.assert_array_equal(
                 np.asarray(fru.t), np.asarray(exact.t)
             )
+
+
+def test_mxu_planned_lanebest_multitile_bitexact():
+    """The lane-best planned epilogue (per-lane running minima, one
+    end-of-walk winner resolve) must match the running-best epilogue and
+    the sweep kernel bit-for-bit ACROSS TILES -- the cross-tile tie rule
+    (lowest tile per lane, then lowest global tri across lanes) and the
+    per-visit accumulation are only exercised with > 1 tile (> 1024
+    triangles; the other planned tests use single-tile meshes)."""
+    rng = np.random.default_rng(50)
+    scene = _random_mesh_scene(rng, n_tris=2300)  # 3 tiles of 1024
+    dev, static = build_device_scene(scene)
+
+    n = 700
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.3)
+    lim = jnp.asarray(
+        np.where(rng.random(n) > 0.5, 3.4e38, 2.0), jnp.float32
+    )
+
+    kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds, planned=True)
+    for sort in (False, True):
+        run = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort,
+            planned_epilogue="running", **kw,
+        )
+        lb = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort,
+            planned_epilogue="lanebest", **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(lb.tri), np.asarray(run.tri))
+        np.testing.assert_array_equal(np.asarray(lb.t), np.asarray(run.t))
