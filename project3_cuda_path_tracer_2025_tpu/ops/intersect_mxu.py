@@ -1200,13 +1200,17 @@ def _planned_kernel_lanebest(
         u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
         v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
         t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-        s = jnp.where(det < 0.0, -1.0, 1.0)
-        da = det * s  # == |det| exactly (s = +/-1)
-        det_ok = da >= baby_eps
+        # EXPRESSION-IDENTICAL to _walk_quad_epilogue, same op order: a
+        # value-equivalent reordering (det_ok from det*s) measured 1-ulp
+        # winner flips vs the other kernels -- the compiler's FMA/
+        # contraction choices are only stable for the exact same graph.
+        det_ok = jnp.abs(det) >= baby_eps
         inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
         tt = t_num * inv_det
+        s = jnp.where(det < 0.0, -1.0, 1.0)
         us = u_num * s
         vs = v_num * s
+        da = det * s
         hit = (
             det_ok
             & (us >= 0.0)
@@ -1872,8 +1876,19 @@ def _run(
         )
         # Lane-best epilogue for small tile counts (see the kernel's
         # docstring; identical results -- the [R, T] accumulators cap the
-        # tile count).
-        lanebest = planned_epilogue == "lanebest" and ct <= 24
+        # tile count).  Compiled mode only: under interpret the kernel
+        # inlines into the whole-program XLA module and its (value-
+        # identical) graph shape perturbs the compiler's contraction
+        # choices in SHARED stages elsewhere in the program -- observed as
+        # 1-ulp image drift between otherwise bit-identical toggle
+        # configs, while every per-stage output compared equal.  On TPU
+        # the pallas_call is an opaque custom call, so no such leak
+        # exists.  "lanebest_force" selects it under interpret too (unit
+        # tests exercise the kernel logic per-module, where it is exact).
+        lanebest = ct <= 24 and (
+            planned_epilogue == "lanebest_force"
+            or (planned_epilogue == "lanebest" and not interpret)
+        )
         kern = functools.partial(
             _planned_kernel_lanebest if lanebest else _planned_kernel,
             baby_eps, ct,
@@ -2239,12 +2254,27 @@ def mesh_intersect_mxu(
     formulas -- identical to the brute-force oracle's arithmetic.  Callers
     that resolve attributes anyway pass ``compute_uv=False`` and call
     ``winner_uv`` with the resolved rows (saves a gather)."""
+    # Fusion-isolate the traversal subgraph: its inputs are barriered so
+    # every SHARED producer (prim_t_min's t_limit, the path-state planes
+    # that also feed the fused shade) sees an identical consumer shape no
+    # matter which traversal runs -- otherwise the compiler's contraction
+    # choices for those producers follow the consuming graph and 1-ulp
+    # value drift leaks into everything else that reads them (observed in
+    # interpret mode: lanebest-planned vs binned full renders diverged on
+    # ~6% of pixels while ALL traversals' intersect outputs were bit-equal
+    # on the same states).  Outputs are barriered below for the same
+    # reason.  On TPU the pallas_call is already a fusion boundary.
+    (rox, roy, roz, rdx, rdy, rdz, active, t_limit) = (
+        jax.lax.optimization_barrier(
+            (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, t_limit)
+        )
+    )
     t, tri = _run(
         tables.features,
         tables.tile_aabb,
         tables.group_aabb,
         tables.center,
-        ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, t_limit,
+        rox, roy, roz, rdx, rdy, rdz, active, t_limit,
         num_tris=num_tris,
         padded_tris=padded_tris,
         baby_eps=baby_eps,
@@ -2267,6 +2297,16 @@ def mesh_intersect_mxu(
             else os.environ.get("PTT_PLANNED_EPILOGUE", "lanebest")
         ),
     )
+    # Pin the winner values at the traversal boundary: downstream shade
+    # math must not re-fuse/contract differently depending on which
+    # traversal PRODUCED (t, tri) -- in interpret mode the kernels inline
+    # as jnp and the compiler's FMA choices follow the producer's graph
+    # shape (observed: lanebest-planned vs binned full renders diverged by
+    # 1 ulp on ~6% of pixels while their intersect outputs were bit-equal;
+    # same mechanism as the material-sort repack barrier in
+    # ops/compaction.py).  On TPU a pallas_call is already a fusion
+    # boundary, so this costs nothing.
+    t, tri = jax.lax.optimization_barrier((t, tri))
     if compute_uv:
         u, v = winner_uv(tables, padded_tris, tri, ro, rd, baby_eps)
     else:

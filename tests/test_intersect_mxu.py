@@ -604,7 +604,7 @@ def test_mxu_planned_lanebest_multitile_bitexact():
         lb = mesh_intersect_mxu(
             dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
             ro, rd, active, lim, sort_rays=sort,
-            planned_epilogue="lanebest", **kw,
+            planned_epilogue="lanebest_force", **kw,
         )
         np.testing.assert_array_equal(np.asarray(lb.tri), np.asarray(run.tri))
         np.testing.assert_array_equal(np.asarray(lb.t), np.asarray(run.t))
