@@ -917,7 +917,88 @@ def _build_tile_plan_frustum(tile_aabb, o, d, one, tl):
     return order.reshape(-1), tlo_sorted.reshape(-1), cnt
 
 
-def _plan_with_prefix(aabb_c, rayf_c, tlim_c, frustum: bool = False):
+def _plan_prepass_kernel(rayf_ref, tlim_ref, aabbt_ref, h_ref, lb_ref):
+    """Per-block exact slab plan, rays VMEM-resident (see the builder)."""
+    rayf = rayf_ref[:]
+    o = rayf[:, 6:9]
+    dvec = rayf[:, 0:3]
+    inv = 1.0 / jnp.where(dvec == 0.0, 1e-20, dvec)
+    live = rayf[:, 9:10] > 0.0  # [R, 1]
+    tl = tlim_ref[:]  # [R, 1]
+
+    def axis(a):
+        lo = aabbt_ref[a : a + 1, :]  # [1, Ctp]
+        hi = aabbt_ref[3 + a : 4 + a, :]
+        t1 = (lo - o[:, a : a + 1]) * inv[:, a : a + 1]  # [R, Ctp]
+        t2 = (hi - o[:, a : a + 1]) * inv[:, a : a + 1]
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    n0, x0 = axis(0)
+    n1, x1 = axis(1)
+    n2, x2 = axis(2)
+    tlo = jnp.maximum(jnp.maximum(n0, n1), n2)
+    thi = jnp.minimum(jnp.minimum(x0, x1), x2)
+    tlo, thi = _widen_slab(tlo, thi, k=2)
+    h = (thi >= tlo) & (thi > 0.0) & (tlo < tl) & live
+    h_ref[:] = jnp.max(h.astype(jnp.float32), axis=0, keepdims=True)
+    per = jnp.where(h, jnp.maximum(tlo, 0.0), jnp.inf)
+    lb_ref[:] = jnp.min(per, axis=0, keepdims=True)
+
+
+def _build_tile_plan_pallas(tile_aabb, rayf, tlim, interpret=False):
+    """``_build_tile_plan`` with the per-(ray, tile) sweep as a Pallas
+    kernel: each 256-ray block stays VMEM-resident and broadcasts over ALL
+    tiles at once, so HBM traffic is read-rays-ONCE + write [NB, Ctp] --
+    independent of the tile count.  The XLA sweep's traffic is O(N*Ct)
+    [n, 16] intermediates (measured 3.6 ms/bounce at 640k rays and just
+    FIVE tiles; the 500k mesh has 489 tiles).  Same widened-slab test and
+    key arithmetic (identical op order), so the (ids, tlo, cnt) plan is
+    bit-identical to the XLA builder's -- asserted cross-impl in
+    tests/test_plan_pallas.py; results are additionally covered by the
+    per-ray candidate contract.  AABBs ride transposed [8, Ctp] so tile
+    bounds broadcast along lanes (Mosaic cannot broadcast a VMEM scalar
+    at a lane offset)."""
+    n_pad = rayf.shape[0]
+    nb = n_pad // RAY_TILE
+    ct = tile_aabb.shape[0]
+    ct_pad = max(128, ((ct + 127) // 128) * 128)
+    big = jnp.float32(3.0e38)
+    # pad with never-hit boxes (lo=+big, hi=-big)
+    pad_rows = jnp.concatenate(
+        [jnp.full((ct_pad - ct, 3), big), jnp.full((ct_pad - ct, 5), -big)],
+        axis=1,
+    )
+    aabbt = jnp.concatenate([tile_aabb, pad_rows], axis=0).T  # [8, Ctp]
+    h, lb = pl.pallas_call(
+        _plan_prepass_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, NUM_F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ct_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ct_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, ct_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb, ct_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(rayf, tlim, aabbt)
+    H = h[:, :ct] > 0.0
+    key = jnp.where(H, lb[:, :ct], jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    tlo_sorted = jnp.take_along_axis(key, order, axis=1)
+    cnt = jnp.sum(H, axis=1).astype(jnp.int32)
+    return order.reshape(-1), tlo_sorted.reshape(-1), cnt
+
+
+def _plan_with_prefix(
+    aabb_c, rayf_c, tlim_c, frustum: bool = False, impl: str = "xla",
+    interpret: bool = False,
+):
     """``_build_tile_plan`` restricted to the live-ray prefix when possible.
 
     The plan's per-(ray, tile) slab sweep is O(N*Ct) but most bounce rays
@@ -932,13 +1013,20 @@ def _plan_with_prefix(aabb_c, rayf_c, tlim_c, frustum: bool = False):
     ct = aabb_c.shape[0]
     n_pad_l = rayf_c.shape[0]
     nb = n_pad_l // RAY_TILE
-    builder = _build_tile_plan_frustum if frustum else _build_tile_plan
+
+    def run_plan(rayf_s, tlim_s):
+        if impl == "pallas" and not frustum:
+            return _build_tile_plan_pallas(
+                aabb_c, rayf_s, tlim_s, interpret=interpret
+            )
+        builder = _build_tile_plan_frustum if frustum else _build_tile_plan
+        return builder(
+            aabb_c, rayf_s[:, 6:9], rayf_s[:, 0:3], rayf_s[:, 9],
+            tlim_s[:, 0],
+        )
 
     def full(_):
-        return builder(
-            aabb_c, rayf_c[:, 6:9], rayf_c[:, 0:3], rayf_c[:, 9],
-            tlim_c[:, 0],
-        )
+        return run_plan(rayf_c, tlim_c)
 
     if nb < 8 or frustum:
         # Tiny ray counts (tests) have nothing to prefix; the frustum plan
@@ -958,10 +1046,7 @@ def _plan_with_prefix(aabb_c, rayf_c, tlim_c, frustum: bool = False):
         nbp = npre // RAY_TILE
 
         def f(_):
-            ids, tlo, cnt = _build_tile_plan(
-                aabb_c, rayf_c[:npre, 6:9], rayf_c[:npre, 0:3],
-                rayf_c[:npre, 9], tlim_c[:npre, 0],
-            )
+            ids, tlo, cnt = run_plan(rayf_c[:npre], tlim_c[:npre])
             ids = jnp.concatenate(
                 [ids.reshape(nbp, ct), jnp.zeros((nb - nbp, ct), jnp.int32)]
             ).reshape(-1)
@@ -1768,7 +1853,8 @@ def _run_binned(
         "num_tris", "padded_tris", "baby_eps", "sort_rays", "sort_bits",
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
         "sort_mode", "streamed", "binned", "binned_tiers", "binned_topk",
-        "binned_budget_rays", "plan_frustum", "planned_epilogue",
+        "binned_budget_rays", "plan_frustum", "plan_impl",
+        "planned_epilogue",
     ),
 )
 def _run(
@@ -1794,6 +1880,7 @@ def _run(
     binned_topk: int = None,
     binned_budget_rays: int = None,
     plan_frustum: bool = False,
+    plan_impl: str = "xla",
     planned_epilogue: str = "lanebest",
 ):
     n = ox.shape[0]
@@ -1872,7 +1959,8 @@ def _run(
         at (256-ray block x TRI_TILE tile) granularity."""
         ct = aabb_c.shape[0]
         ids, tlo_s, cnt = _plan_with_prefix(
-            aabb_c, rayf_c, tlim_c, frustum=plan_frustum
+            aabb_c, rayf_c, tlim_c, frustum=plan_frustum, impl=plan_impl,
+            interpret=interpret,
         )
         # Lane-best epilogue for small tile counts (see the kernel's
         # docstring; identical results -- the [R, T] accumulators cap the
@@ -1924,7 +2012,8 @@ def _run(
         ctf = aabb_c.shape[0]
         nb = n_pad // RAY_TILE
         ids, tlo_s, cnt = _plan_with_prefix(
-            aabb_c, rayf_c, tlim_c, frustum=plan_frustum
+            aabb_c, rayf_c, tlim_c, frustum=plan_frustum, impl=plan_impl,
+            interpret=interpret,
         )
         # Fixed [NB, 8, 128] plan layout: the per-block DMA slice is then a
         # whole (8, 128) tile -- any other shape trips Mosaic's sublane/lane
@@ -2247,6 +2336,7 @@ def mesh_intersect_mxu(
     binned_topk: int = None,
     binned_budget_rays: int = None,
     plan_frustum: bool = False,
+    plan_impl: str = None,  # None = env PTT_PLAN_IMPL
     planned_epilogue: str = None,  # None = env PTT_PLANNED_EPILOGUE
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
@@ -2291,6 +2381,11 @@ def mesh_intersect_mxu(
         binned_topk=binned_topk,
         binned_budget_rays=binned_budget_rays,
         plan_frustum=plan_frustum,
+        plan_impl=(
+            plan_impl
+            if plan_impl is not None
+            else os.environ.get("PTT_PLAN_IMPL", "xla")
+        ),
         planned_epilogue=(
             planned_epilogue
             if planned_epilogue is not None
