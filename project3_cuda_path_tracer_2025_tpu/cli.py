@@ -98,10 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
-        "--pixel-chunks", type=int, default=1,
+        "--pixel-chunks", type=int, default=0,
         help="split each iteration into C sequential dispatches over pixel "
-        "blocks (bit-identical; bounds per-program ray count -- use for "
-        "the brute-force A/B at full res, see config.pixel_chunks)",
+        "blocks (bit-identical; bounds per-program ray count).  0 = auto: "
+        "engages only for brute-force renders big enough to hit the "
+        "measured axon fault (config.resolved_pixel_chunks); 1 = off",
     )
     p.add_argument(
         "--devices", type=int, default=1,

@@ -182,8 +182,12 @@ class RenderConfig:
     # Purpose: bounding per-program ray count for configs that overwhelm
     # the backend -- the brute-force A/B (bvh_acceleration=False) faults
     # the axon TPU worker at 800^2 in one 640k-ray program (PARITY.md
-    # round-3) but completes chunked.  1 = off.
-    pixel_chunks: int = 1
+    # round-3) but completes chunked (8667 ms/frame at pixel_chunks=8,
+    # round-4 campaign 2).  1 = off.  0 = AUTO: engage chunking only for
+    # that measured fault class -- brute force on an accelerator at
+    # >= ~200k rays -- so the naive CLI brute-force run completes without
+    # the user knowing the workaround (see resolved_pixel_chunks).
+    pixel_chunks: int = 0
 
     # Multi-chip scale-out (shard_map over ICI; parallel/shardmap.py).
     #   devices = 1: single chip (default).  devices = N: render across the
@@ -248,3 +252,28 @@ class RenderConfig:
         import jax
 
         return (4, 2) if jax.default_backend() != "cpu" else ()
+
+    def resolved_pixel_chunks(self, pixel_count: int, backend=None) -> int:
+        """``pixel_chunks`` with the 0 = auto sentinel resolved: chunking
+        auto-engages ONLY for the measured axon fault class (brute-force
+        ``bvh_acceleration=False`` on an accelerator at >= ~200k rays,
+        PARITY.md rounds 1-4) by picking the smallest divisor of the pixel
+        count that bounds per-program rays to <= ~96k (800^2 -> 8 chunks,
+        the configuration measured to complete).  Everything else runs
+        unchunked.  ``backend`` overrides the live jax backend (tests)."""
+        if self.pixel_chunks != 0:
+            return self.pixel_chunks
+        if backend is None:
+            import jax
+
+            backend = jax.default_backend()
+        if (
+            self.bvh_acceleration
+            or backend == "cpu"
+            or pixel_count < 200_000
+        ):
+            return 1
+        for c in range(2, 65):
+            if pixel_count % c == 0 and pixel_count // c <= 96_000:
+                return c
+        return 1  # no divisor bounds the program; run unchunked

@@ -132,6 +132,7 @@ class Renderer:
             self._step = step
             self._iter_fn = iter_fn
             self._spp_stride = stride
+            self._pixel_chunks = 1  # chunking never composes with shard_map
             self._step_many_cache = {}
             return
         iter_fn = (
@@ -140,16 +141,18 @@ class Renderer:
             else megakernel_iteration
         )
 
-        if cfg_.pixel_chunks > 1:
+        self._pixel_chunks = cfg_.resolved_pixel_chunks(static_.pixel_count)
+        if self._pixel_chunks > 1:
             # Chunked dispatch: C sequential launches of ONE compiled
             # program over contiguous pixel blocks (the integrators' shard
             # path with a traced block-id vector).  Pixel-keyed RNG makes
             # this bit-identical to the unchunked step; it exists to bound
             # per-program ray count (the brute-force A/B at 800^2 faults
             # the axon worker in one 640k-ray program but completes
-            # chunked -- see config.pixel_chunks).
+            # chunked -- see config.pixel_chunks; 0 auto-engages it for
+            # exactly that fault class).
             n_g = static_.pixel_count
-            chunks = cfg_.pixel_chunks
+            chunks = self._pixel_chunks
             if n_g % chunks:
                 raise ValueError(
                     f"pixel_chunks={chunks} must divide the pixel count {n_g}"
@@ -334,7 +337,7 @@ class Renderer:
         # spp than requested -- callers track self.iteration, which always
         # reflects what actually ran.
         n_disp = max(1, -(-k // stride))
-        if n_disp == 1 or self.cfg.pixel_chunks > 1:
+        if n_disp == 1 or self._pixel_chunks > 1:
             # Chunked mode steps from the host (jitting the chunk loop into
             # one fori program would rebuild exactly the oversized program
             # chunking exists to avoid).

@@ -49,6 +49,15 @@ MATRIX = [
     ("transmissive",
      "/root/reference/scenes/cornell_transmissive_test.json", 32, 32, 2),
     ("dof", os.path.join(REPO, "scenes", "cornell_dof.json"), 32, 32, 2),
+    # Ties the texture pipeline to REAL reference assets beyond wahoo.bmp:
+    # a faithful proxy of cornell_obj_phatphuck_texture_test.json (same
+    # materials/camera/walls) with the two surviving reference textures --
+    # phat_phuck_tex1_albedo.png as albedo, tex2 standing in for the
+    # stripped wood_normal.png bump map -- on a procedural mesh (the
+    # phatphuck .obj itself is stripped from the mirror,
+    # /root/reference/.MISSING_LARGE_BLOBS).
+    ("phatphuck_proxy",
+     os.path.join(REPO, "scenes", "cornell_phatphuck_proxy.json"), 32, 32, 1),
 ]
 
 

@@ -49,3 +49,23 @@ def test_pixel_chunks_must_divide(repo_root):
     s = set_resolution(load_scene("/root/reference/scenes/cornell.json"), 10, 10)
     with pytest.raises(ValueError, match="divide"):
         Renderer(s, RenderConfig(pixel_chunks=3))
+
+
+def test_pixel_chunks_auto_resolution():
+    """0 = auto engages ONLY for the measured fault class: brute force on
+    an accelerator at >= ~200k rays (VERDICT round-4 #7: the naive CLI
+    brute-force run must complete at 800^2 without knowing the
+    workaround)."""
+    brute = RenderConfig(bvh_acceleration=False)
+    # 800^2 brute force on TPU: smallest divisor bounding chunks <= 96k rays
+    assert brute.resolved_pixel_chunks(800 * 800, backend="tpu") == 8
+    # BVH path never auto-chunks
+    assert RenderConfig().resolved_pixel_chunks(800 * 800, backend="tpu") == 1
+    # CPU never auto-chunks (no axon worker to fault)
+    assert brute.resolved_pixel_chunks(800 * 800, backend="cpu") == 1
+    # below the fault class
+    assert brute.resolved_pixel_chunks(160 * 160, backend="tpu") == 1
+    # explicit values pass through untouched
+    assert RenderConfig(pixel_chunks=4).resolved_pixel_chunks(640000) == 4
+    assert RenderConfig(pixel_chunks=1, bvh_acceleration=False
+                        ).resolved_pixel_chunks(640000, backend="tpu") == 1
