@@ -75,7 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--mxu-traversal",
-        choices=("auto", "sweep", "planned", "streamed", "binned"),
+        choices=("auto", "sweep", "planned", "streamed", "binned", "mono"),
         default="auto",
         help="MXU intersector traversal (bit-identical results; see config)",
     )

@@ -130,9 +130,13 @@ class RenderConfig:
     # candidate pairs tile-major, so kernel work scales with packet
     # candidate sums instead of 256-ray block unions (mid-bounce
     # populations on heavy meshes; falls back to streamed when live rays
-    # exceed the prefix or bins overflow).  Bit-identical results
-    # (tested; per-ray candidate contract in ops/intersect_mxu.py); "auto"
-    # picks planned for VMEM-resident meshes (<= 32k tris), binned in its
+    # exceed the prefix or bins overflow); "mono" (tiny meshes) statically
+    # unrolls EVERY tile with no plan at all -- straight-line code
+    # pipelines matmuls under epilogues and the XLA plan prepass
+    # disappears (measured faster than walking the plan at <= 8 tiles,
+    # round-5 profile).  Bit-identical results (tested; per-ray candidate
+    # contract in ops/intersect_mxu.py); "auto" picks mono <= 8k tris,
+    # planned for other VMEM-resident meshes (<= 32k tris), binned in its
     # measured winning band (~128k-320k padded tris; 659 vs 917 ms at 200k
     # on v5e), streamed for everything else (intersect_mxu.
     # resolve_traversal_mode).

@@ -67,6 +67,13 @@ NUM_F = 16  # padded ray-feature dim (10 used)
 CHUNK_TRIS = int(os.environ.get("PTT_CHUNK_TRIS", str(32 * 1024)))
 assert CHUNK_TRIS % GROUP_TRIS == 0 or CHUNK_TRIS < GROUP_TRIS
 
+# Plan-free static-unroll traversal band (see _mono_kernel): sweeping all
+# live-block tiles beats walking a plan while live_blocks * Ct stays close
+# to the plan's candidate count (measured 1.47x at 5k mid-bounce, where
+# mono still wins) AND the plan prepass cost is nonzero.  Beyond ~8 tiles
+# the sweep multiple grows and the planned walk takes over.
+MONO_MAX_TILES = int(os.environ.get("PTT_MONO_MAX_TILES", "8"))
+
 # --- the candidate-set contract (why every path is bit-identical) --------
 #
 # A (ray, tile) pair is a CANDIDATE iff the ray's OWN widened slab test
@@ -691,30 +698,11 @@ def _intersect_kernel(
             quad = jnp.dot(
                 rayf, feat_ref[:, cols], preferred_element_type=jnp.float32
             )  # [R, 4*T]: four contiguous T-wide blocks (see build_mxu_tables)
-            det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
-            u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
-            v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
-            t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-
-            det_ok = jnp.abs(det) >= baby_eps
-            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-            tt = t_num * inv_det
-            # Division-free barycentric bounds: u = u_num/det in [0,1] iff
-            # u_num*sign(det) in [0, |det|] (det != 0 under det_ok).
-            # u <= 1 is implied by v >= 0 and u + v <= 1, so it is not
-            # tested (the reference tests the same three bounds).
-            s = jnp.where(det < 0.0, -1.0, 1.0)
-            us = u_num * s
-            vs = v_num * s
-            da = det * s  # |det|
-            hit = (
-                det_ok
-                & (us >= 0.0)
-                & (vs >= 0.0)
-                & (us + vs <= da)
-                & (tt >= t_lo)
-                & (tt <= t_hi)
-            )
+            # Division-free barycentric bounds (_mt_hit): u = u_num/det in
+            # [0,1] iff u_num*sign(det) in [0, |det|] (det != 0 under
+            # det_ok).  u <= 1 is implied by v >= 0 and u + v <= 1, so it
+            # is not tested (the reference tests the same three bounds).
+            hit, tt = _mt_hit(quad, t_lo, t_hi, baby_eps)
             # Sentinel must compare >= any t_limit (callers pass FLT_MAX).
             # No tt < best_t mask needed: the row-min + `better` comparison
             # below rejects any candidate at or past the running best.
@@ -1071,6 +1059,55 @@ def _plan_with_prefix(
     return out(None)
 
 
+def _mt_hit(quad, t_lo, t_hi, baby_eps):
+    """Moller-Trumbore acceptance over one [R, 4*TRI_TILE] quad block ->
+    (hit, tt).  ONE definition shared by EVERY kernel (sweep / planned /
+    lanebest / streamed / binned / mono), so the cross-traversal
+    bit-identity contract rests on a single expression graph.
+
+    The kernels are VPU-epilogue-bound (~0.14 us per full-width op,
+    round-5 profile), so the textbook sign-flip form is trimmed -- each
+    rewrite PROVABLY preserves every comparison bit-for-bit:
+
+    * ``us = u_num * s`` (s = +/-1 from det's sign) becomes an XOR of
+      det's sign BIT into u_num: multiplication by +/-1.0 is exact in
+      IEEE-754 and produces the identical bit pattern (incl. +/-0), so
+      every downstream compare sees identical f32 values.  3 int ops
+      replace cmp+select+2 muls.  (At det == -0.0 the sign BIT differs
+      from the old ``det < 0`` test, but |det| < baby_eps forces
+      hit = False there regardless, and us/vs feed nothing else.)
+    * ``da = det * s == |det|`` reuses the abs already computed for
+      det_ok.  At det == +/-0 the old form could give -0.0 vs abs'
+      +0.0; ``us + vs <= da`` compares equal either way (-0.0 == +0.0).
+    * ``(us >= 0) & (vs >= 0) == min(us, vs) >= 0``: us/vs are never NaN
+      (finite features, no inf products), and IEEE min over +/-0 is
+      >= 0 under either choice.
+
+    Same epsilon semantics as the reference's ``intersectTriangle``
+    (src/intersections.cu:112-145); the [t_lo, t_hi] confinement is the
+    candidate-set contract (module docstring)."""
+    det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+    u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+    v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+    t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+    abs_det = jnp.abs(det)
+    det_ok = abs_det >= baby_eps
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    tt = t_num * inv_det
+    bc = jax.lax.bitcast_convert_type
+    sign = bc(det, jnp.int32) & jnp.int32(-(2**31))
+    us = bc(bc(u_num, jnp.int32) ^ sign, jnp.float32)
+    vs = bc(bc(v_num, jnp.int32) ^ sign, jnp.float32)
+    hit = (
+        det_ok
+        & (jnp.minimum(us, vs) >= 0.0)
+        & (us + vs <= abs_det)
+        & (tt >= t_lo)
+        & (tt <= t_hi)
+    )
+    return hit, tt
+
+
 def _walk_quad_epilogue(
     rayf, feat_block, baby_eps, lane, tile_id, t_lo, t_hi, best_t, best_tri
 ):
@@ -1081,25 +1118,7 @@ def _walk_quad_epilogue(
     in one place (the sweep kernel's epilogue is deliberately separate:
     its ascending visit order lets it skip the tie bookkeeping)."""
     quad = jnp.dot(rayf, feat_block, preferred_element_type=jnp.float32)
-    det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
-    u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
-    v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
-    t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-    det_ok = jnp.abs(det) >= baby_eps
-    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-    tt = t_num * inv_det
-    s = jnp.where(det < 0.0, -1.0, 1.0)
-    us = u_num * s
-    vs = v_num * s
-    da = det * s
-    hit = (
-        det_ok
-        & (us >= 0.0)
-        & (vs >= 0.0)
-        & (us + vs <= da)
-        & (tt >= t_lo)
-        & (tt <= t_hi)
-    )
+    hit, tt = _mt_hit(quad, t_lo, t_hi, baby_eps)
     ttm = jnp.where(hit, tt, jnp.inf)
     row_min = jnp.min(ttm, axis=1, keepdims=True)
     better = row_min < best_t
@@ -1278,32 +1297,15 @@ def _planned_kernel_lanebest(
             pl.multiple_of(tile_id * (4 * TRI_TILE), 4 * TRI_TILE),
             4 * TRI_TILE,
         )
+        # The shared _mt_hit keeps this EXPRESSION-IDENTICAL to every other
+        # kernel's acceptance: a value-equivalent reordering (det_ok from
+        # det*s) once measured 1-ulp winner flips vs the other kernels --
+        # the compiler's FMA/contraction choices are only stable for the
+        # exact same graph, so the graph lives in exactly one place.
         quad = jnp.dot(
             rayf, feat_ref[:, cols], preferred_element_type=jnp.float32
         )
-        det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
-        u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
-        v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
-        t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-        # EXPRESSION-IDENTICAL to _walk_quad_epilogue, same op order: a
-        # value-equivalent reordering (det_ok from det*s) measured 1-ulp
-        # winner flips vs the other kernels -- the compiler's FMA/
-        # contraction choices are only stable for the exact same graph.
-        det_ok = jnp.abs(det) >= baby_eps
-        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-        tt = t_num * inv_det
-        s = jnp.where(det < 0.0, -1.0, 1.0)
-        us = u_num * s
-        vs = v_num * s
-        da = det * s
-        hit = (
-            det_ok
-            & (us >= 0.0)
-            & (vs >= 0.0)
-            & (us + vs <= da)
-            & (tt >= t_lo)
-            & (tt <= t_hi)
-        )
+        hit, tt = _mt_hit(quad, t_lo, t_hi, baby_eps)
         cand = jnp.where(hit, tt, jnp.inf)
         upd = (cand < lane_t) | (
             (cand == lane_t) & (cand < jnp.inf) & (tile_id < lane_tile)
@@ -1332,6 +1334,82 @@ def _planned_kernel_lanebest(
     tri = jnp.min(masked, axis=1, keepdims=True)
     out_t_ref[:] = jnp.where(hitrow, row_min, tlim)
     out_tri_ref[:] = jnp.where(hitrow, tri, -1)
+
+
+def _mono_kernel(
+    baby_eps: float,
+    ct: int,
+    rayf_ref,  # [RAY_TILE, NUM_F]
+    tlim_ref,  # [RAY_TILE, 1]
+    feat_ref,  # [NUM_F, 4*Tp] full table in VMEM
+    aabb_ref,  # [Ct, 8]
+    out_t_ref,
+    out_tri_ref,
+):
+    """Plan-FREE traversal for tiny meshes: statically unroll EVERY tile,
+    lane-best accumulate with a strict-< update, skip only fully-dead
+    blocks.
+
+    Why this beats the planned walk when Ct is small (round-5 epilogue
+    profile, 5k mesh mid-bounce, 640k rays): the fori_loop + SMEM id read
+    + dynamic feature slice costs ~2 us/visit on top of the ~0.24 us
+    matmul (lb_mm floor 2.78 us/visit vs mono_mm 1.51), and a per-tile
+    any(member) cond costs MORE than the work it skips (mono_gate 13.6 ms
+    vs mono 10.8).  Straight-line static slices let Mosaic pipeline tile
+    c+1's matmul under tile c's epilogue, so sweeping ALL 2675
+    live-block tile pairs (10.8 ms) undercuts walking the plan's 1818
+    candidates (11.2-11.6 ms) -- AND the XLA plan prepass + row sort
+    disappear from the bounce entirely.
+
+    Bit-identity (candidate contract): ascending tile order + strict-<
+    makes first-win == lowest-tile-on-tie, per-lane lowest tile + cross-
+    lane lowest (tile*T + lane) == lowest global triangle id; per-ray
+    member windows confine hits exactly as every other kernel."""
+    rayf = rayf_ref[:]
+    o = rayf[:, 6:9]
+    dvec = rayf[:, 0:3]
+    inv = 1.0 / jnp.where(dvec == 0.0, 1e-20, dvec)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
+    tlim = tlim_ref[:]
+    block_live = jnp.any(rayf[:, 9:10] > 0.0)
+    eps_succ = float(np.nextafter(np.float32(baby_eps), np.float32(np.inf)))
+
+    @pl.when(block_live)
+    def _():
+        lane_t = jnp.full((RAY_TILE, TRI_TILE), jnp.inf, jnp.float32)
+        lane_tile = jnp.full(
+            (RAY_TILE, TRI_TILE), jnp.int32(1 << 30), jnp.int32
+        )
+        for c in range(ct):
+            row = aabb_ref[c : c + 1, :]
+            member, s_tlo, s_thi = _member_slab(row, o, inv, tlim)
+            t_lo = jnp.where(member, jnp.maximum(s_tlo, eps_succ), jnp.inf)
+            t_hi = jnp.where(member, s_thi, -jnp.inf)
+            quad = jnp.dot(
+                rayf,
+                feat_ref[:, c * 4 * TRI_TILE : (c + 1) * 4 * TRI_TILE],
+                preferred_element_type=jnp.float32,
+            )
+            hit, tt = _mt_hit(quad, t_lo, t_hi, baby_eps)
+            cand = jnp.where(hit, tt, jnp.inf)
+            upd = cand < lane_t
+            lane_t = jnp.where(upd, cand, lane_t)
+            lane_tile = jnp.where(upd, jnp.int32(c), lane_tile)
+        # End-of-walk resolve == _planned_kernel_lanebest's.
+        row_min = jnp.min(lane_t, axis=1, keepdims=True)
+        hitrow = row_min < tlim
+        tri_lane = lane_tile * TRI_TILE + lane
+        masked = jnp.where(
+            lane_t <= row_min, tri_lane, jnp.int32(0x7FFFFFFF)
+        )
+        tri = jnp.min(masked, axis=1, keepdims=True)
+        out_t_ref[:] = jnp.where(hitrow, row_min, tlim)
+        out_tri_ref[:] = jnp.where(hitrow, tri, -1)
+
+    @pl.when(jnp.logical_not(block_live))
+    def _():
+        out_t_ref[:] = tlim_ref[:]
+        out_tri_ref[:] = jnp.full((RAY_TILE, 1), -1, jnp.int32)
 
 
 def _streamed_kernel(
@@ -1592,25 +1670,7 @@ def _binned_kernel(
         t_lo = jnp.where(member, jnp.maximum(s_tlo, eps_succ), jnp.inf)
         t_hi = jnp.where(member, s_thi, -jnp.inf)
         quad = jnp.dot(pairf, buf[slot], preferred_element_type=jnp.float32)
-        det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
-        u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
-        v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
-        t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
-        det_ok = jnp.abs(det) >= baby_eps
-        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-        tt = t_num * inv_det
-        s = jnp.where(det < 0.0, -1.0, 1.0)
-        us = u_num * s
-        vs = v_num * s
-        da = det * s
-        hit = (
-            det_ok
-            & (us >= 0.0)
-            & (vs >= 0.0)
-            & (us + vs <= da)
-            & (tt >= t_lo)
-            & (tt <= t_hi)
-        )
+        hit, tt = _mt_hit(quad, t_lo, t_hi, baby_eps)
         ttm = jnp.where(hit, tt, jnp.inf)
         row_min = jnp.min(ttm, axis=1, keepdims=True)
         lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
@@ -1854,7 +1914,7 @@ def _run_binned(
         "sort_dir_bits", "mesh_bounds", "chunk_tris", "interpret", "planned",
         "sort_mode", "streamed", "binned", "binned_tiers", "binned_topk",
         "binned_budget_rays", "plan_frustum", "plan_impl",
-        "planned_epilogue",
+        "planned_epilogue", "mono",
     ),
 )
 def _run(
@@ -1882,6 +1942,7 @@ def _run(
     plan_frustum: bool = False,
     plan_impl: str = "xla",
     planned_epilogue: str = "lanebest",
+    mono: bool = False,
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -2060,6 +2121,32 @@ def _run(
             interpret=interpret,
         )(cnt, rayf_c, tlim_c, aabb_c, feat_c, ids2, tlo2)
 
+    def run_mono(rayf_c, feat_c, aabb_c, tlim_c):
+        """Plan-free static-unroll traversal (see _mono_kernel): no scalar
+        prefetch, no plan prepass -- the whole XLA plan stage disappears
+        from the bounce."""
+        ct_m = aabb_c.shape[0]
+        kern = functools.partial(_mono_kernel, baby_eps, ct_m)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((RAY_TILE, NUM_F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(feat_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(aabb_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(rayf_c, tlim_c, feat_c, aabb_c)
+
     def run_chunk(rayf_c, feat_c, aabb_c, gaabb_c, tlim_c):
         """One pallas_call over a VMEM-resident feature chunk."""
         num_groups = feat_c.shape[1] // (4 * GROUP_TRIS)
@@ -2096,6 +2183,17 @@ def _run(
         streamed, planned = False, True
     if binned and padded_tris // TRI_TILE > 8 * 128:
         binned = False  # needs the streamed fallback's plan capacity
+    # Mono: capacity fallback to planned beyond its band, and (like the
+    # lane-best epilogue) compiled-mode only by default -- under interpret
+    # the inlined kernel graph perturbs shared-stage fusion elsewhere in
+    # the program (1-ulp toggle drift); planned_epilogue="mono_force" opts
+    # in for unit tests, which compare kernel outputs directly.
+    use_mono = (
+        mono
+        and padded_tris // TRI_TILE <= MONO_MAX_TILES
+        and padded_tris <= chunk_tris
+        and (not interpret or planned_epilogue == "mono_force")
+    )
     nb_blocks = n_pad // RAY_TILE
     ct_per_call = min(padded_tris, chunk_tris) // TRI_TILE
     if planned and not streamed and (
@@ -2165,6 +2263,8 @@ def _run(
                 )
             )
         out_t, out_tri = chain(None)
+    elif use_mono:
+        out_t, out_tri = run_mono(rayf, features, tile_aabb, tlim)
     elif streamed:
         out_t, out_tri = run_streamed(rayf, features, tile_aabb, tlim)
     elif padded_tris <= chunk_tris:
@@ -2265,16 +2365,19 @@ def resolve_plan_frustum(mxu_plan: str, sorted_state: bool) -> bool:
 
 
 def resolve_traversal_mode(mode: str, padded_tris: int) -> str:
-    """Resolve "auto" to a concrete traversal for this mesh size: planned
-    for VMEM-resident meshes (<= CHUNK_TRIS; the feature table lives in
-    VMEM so streaming buys nothing), packet-binned in its measured winning
-    band (see BINNED_AUTO_MIN/MAX), streamed for everything else beyond
-    CHUNK_TRIS (measured faster than the chunked planned chain -- 67 vs
-    72 ms at 80k, 154 vs 163 ms at 200k on v5e -- because ONE call walks a
-    GLOBAL front-to-back plan instead of per-chunk plans in fixed leaf
-    order)."""
+    """Resolve "auto" to a concrete traversal for this mesh size: MONO
+    (plan-free static unroll, see _mono_kernel) within its measured band
+    (<= MONO_MAX_TILES tiles), planned for other VMEM-resident meshes
+    (<= CHUNK_TRIS; the feature table lives in VMEM so streaming buys
+    nothing), packet-binned in its measured winning band (see
+    BINNED_AUTO_MIN/MAX), streamed for everything else beyond CHUNK_TRIS
+    (measured faster than the chunked planned chain -- 67 vs 72 ms at
+    80k, 154 vs 163 ms at 200k on v5e -- because ONE call walks a GLOBAL
+    front-to-back plan instead of per-chunk plans in fixed leaf order)."""
     if mode != "auto":
         return mode
+    if padded_tris <= MONO_MAX_TILES * TRI_TILE:
+        return "mono"
     if padded_tris <= CHUNK_TRIS:
         return "planned"
     if BINNED_AUTO_MIN < padded_tris <= BINNED_AUTO_MAX:
@@ -2292,6 +2395,9 @@ def traversal_flags(
     mode = resolve_traversal_mode(mode, padded_tris)
     if mode == "sweep":
         return dict(planned=False, streamed=False)
+    if mode == "mono":
+        # planned=True backs the interpret / capacity fallback
+        return dict(planned=True, streamed=False, mono=True)
     if mode == "planned":
         return dict(planned=True, streamed=False)
     if mode == "streamed":
@@ -2338,6 +2444,7 @@ def mesh_intersect_mxu(
     plan_frustum: bool = False,
     plan_impl: str = None,  # None = env PTT_PLAN_IMPL
     planned_epilogue: str = None,  # None = env PTT_PLANNED_EPILOGUE
+    mono: bool = False,
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -2391,6 +2498,7 @@ def mesh_intersect_mxu(
             if planned_epilogue is not None
             else os.environ.get("PTT_PLANNED_EPILOGUE", "lanebest")
         ),
+        mono=mono,
     )
     # Pin the winner values at the traversal boundary: downstream shade
     # math must not re-fuse/contract differently depending on which

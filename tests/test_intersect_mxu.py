@@ -608,3 +608,46 @@ def test_mxu_planned_lanebest_multitile_bitexact():
         )
         np.testing.assert_array_equal(np.asarray(lb.tri), np.asarray(run.tri))
         np.testing.assert_array_equal(np.asarray(lb.t), np.asarray(run.t))
+
+
+def test_mxu_mono_multitile_bitexact():
+    """The plan-free MONO traversal (static unroll over every tile,
+    strict-< lane-best, block-live skip -- ops/intersect_mxu._mono_kernel)
+    must match the planned walk bit-for-bit: ascending-tile visits make
+    first-win == the contract's lowest-tile tie rule, and the per-ray
+    member windows confine hits identically.  Multi-tile mesh so cross-
+    tile accumulation and the tie rule are exercised; sorted + unsorted;
+    finite t_limits."""
+    rng = np.random.default_rng(51)
+    scene = _random_mesh_scene(rng, n_tris=2300)  # 3 tiles of 1024
+    dev, static = build_device_scene(scene)
+
+    n = 700
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.3)
+    lim = jnp.asarray(
+        np.where(rng.random(n) > 0.5, 3.4e38, 2.0), jnp.float32
+    )
+
+    kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds, planned=True)
+    for sort in (False, True):
+        ref = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort,
+            planned_epilogue="running", **kw,
+        )
+        mono = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, mono=True,
+            planned_epilogue="mono_force", **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(mono.tri), np.asarray(ref.tri))
+        np.testing.assert_array_equal(np.asarray(mono.t), np.asarray(ref.t))
+    # interpret WITHOUT the force flag falls back to the planned walk
+    # (fusion-leak gate) -- still bit-identical, exercising the fallback
+    fb = mesh_intersect_mxu(
+        dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+        ro, rd, active, lim, sort_rays=False, mono=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(fb.tri), np.asarray(ref.tri))
