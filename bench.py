@@ -122,6 +122,30 @@ def main():
 
     finite = bool(np.isfinite(img).all())
 
+    # Mesh traversal-kernel roofline (VERDICT round-4 #10): achieved MXU
+    # FLOP/s + HBM GB/s + VPU elem-op rate for the production kernel on the
+    # 5k mesh, so the "epilogue-bound" analysis carries hardware numbers in
+    # every round's BENCH json.  Bounded subprocess: a fault or slow tunnel
+    # degrades to an error note, never the headline.
+    roofline = None
+    if os.environ.get("BENCH_MESH", "1") == "1":
+        import subprocess
+
+        try:
+            rr = subprocess.run(
+                [sys.executable, "scripts/roofline_mesh.py"],
+                capture_output=True, text=True, timeout=2400,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in rr.stdout.splitlines():
+                if line.startswith("{"):
+                    roofline = json.loads(line)
+        except Exception as e:  # noqa: BLE001
+            roofline = {"error": str(e)[:200]}
+        if roofline is None:
+            tail = (rr.stderr or rr.stdout).strip().splitlines()
+            roofline = {"error": tail[-1][:200] if tail else "no output"}
+
     print(
         json.dumps(
             {
@@ -139,6 +163,7 @@ def main():
                 "dispatch_overhead_ms": round(dispatch_overhead_ms, 3),
                 "film_finite": finite,
                 "device": str(jax.devices()[0]),
+                **({"mesh_roofline": roofline} if roofline else {}),
             }
         )
     )

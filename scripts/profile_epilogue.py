@@ -416,9 +416,29 @@ def main():
 
         return f
 
+    def prod_mono(rf):
+        """The LANDED _mono_kernel (trimmed _mt_hit epilogue)."""
+        return pl.pallas_call(
+            functools.partial(m._mono_kernel, eps, ct),
+            grid=grid,
+            in_specs=[
+                vm((R, NF), lambda i: (i, 0)),
+                vm((R, 1), lambda i: (i, 0)),
+                vm(feat.shape, lambda i: (0, 0)),
+                vm(aabb.shape, lambda i: (0, 0)),
+            ],
+            out_specs=(
+                vm((R, 1), lambda i: (i, 0)),
+                vm((R, 1), lambda i: (i, 0)),
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(rf, tlim, feat, aabb)
+
     variants = [
         ("prod_lanebest", prod_lanebest, True),
         ("prod_planned", prod_planned, True),
+        ("prod_mono", prod_mono, True),
         ("lb_asc", lb_asc, True),
         ("mono", mono_call("full"), True),
         ("mono_gate", mono_call("gate"), True),
