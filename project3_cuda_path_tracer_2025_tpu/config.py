@@ -150,6 +150,19 @@ class RenderConfig:
     # 80k 504 vs 420 ms): extra tile visits + a later-firing early exit
     # cost more than the prepass saves.  "auto" = exact.
     mxu_plan: str = "auto"
+    # Where the fused MESH bounce keeps its ray state between bounces:
+    #   "sorted" -- persistent coherence order: each bounce argsorts the
+    #     carried key and PERMUTES the whole path state (one packed [N,12]
+    #     row gather + stack/unpack, measured ~3.4 ms/bounce at 640k);
+    #     prefix tiers then slice every stage to the alive prefix.
+    #   "pixel"  -- state stays in pixel order; the carried key is handed
+    #     to the intersector, which sorts ONLY its ray-feature rows (a
+    #     [N,16] row gather it builds anyway) and scatters (t, tri) back.
+    #     The state permute disappears; bounce prefix tiers cannot engage
+    #     (alive rays are scattered in pixel order).
+    # Bit-identical either way (permutation-invisibility is the tested
+    # invariant: sorted == unsorted images bit-exact).  "auto" = sorted.
+    mesh_state_order: str = "auto"
     # Live-prefix tiers for the binned traversal, as divisors of the ray
     # count (ascending coverage): the smallest prefix holding every live
     # ray engages; beyond the largest, the streamed walk runs.  Each tier
@@ -232,6 +245,11 @@ class RenderConfig:
         # stream_compaction is bool | "adaptive", but sibling toggles use
         # "on"/"off" strings -- normalize those rather than letting a
         # truthy "off" silently ENABLE compaction, and reject the rest.
+        if self.mesh_state_order not in ("auto", "sorted", "pixel"):
+            raise ValueError(
+                f"mesh_state_order={self.mesh_state_order!r}: use "
+                "'auto'/'sorted'/'pixel'"
+            )
         sc = self.stream_compaction
         if isinstance(sc, str) and sc != "adaptive":
             if sc in ("on", "true", "1"):

@@ -639,7 +639,13 @@ def fused_mesh_bounce(
     rng_n = rng_n or n
     from . import intersect_mxu
 
-    tiers = cfg.resolved_prefix_tiers() if sort_rays else ()
+    # Pixel-order state can't tier: alive rays are scattered across the
+    # whole pixel range, so the alive-prefix predicate never engages.
+    tiers = (
+        cfg.resolved_prefix_tiers()
+        if sort_rays and cfg.mesh_state_order != "pixel"
+        else ()
+    )
     npres = tier_sizes(n, tiers)
     # Bounce tiers COMPOSE with the binned traversal now that the pair
     # budget is anchored to the unsliced ray count (budget_anchor_n): the
@@ -791,7 +797,20 @@ def _fused_mesh_bounce_at(
     else:
         t_lim = prim_t_min(static, cfg, paths.origin, paths.direction)
 
-    if sort_rays and resort:
+    # "pixel" state order: the state permute disappears -- the intersector
+    # sorts only its own ray-feature rows by the carried key and scatters
+    # (t, tri) back to pixel order (bit-identical: permutation
+    # invisibility).  See config.mesh_state_order.
+    pixel_order = cfg.mesh_state_order == "pixel" and sort_rays
+    isect_sort_kw = {}
+    if pixel_order:
+        isect_sort_kw = dict(sort_rays=True, sort_key=ckey)
+        if ckey is None:
+            isect_sort_kw["sort_mode"] = (
+                "signature" if cfg.ray_sort_mode == "auto"
+                else cfg.ray_sort_mode
+            )
+    elif sort_rays and resort:
         if ckey is not None:
             perm = jnp.argsort(ckey)
         else:
@@ -826,7 +845,10 @@ def _fused_mesh_bounce_at(
         static.mxu_padded_tris,
         ro, rd, paths.alive, t_lim,
         cfg.baby_epsilon,
-        sort_rays=False,  # persistent: state is already in sorted order
+        # persistent mode: state is already in sorted order (sort_rays
+        # False); pixel mode: the intersector sorts internally by the
+        # carried key
+        **{**dict(sort_rays=False), **isect_sort_kw},
         mesh_bounds=static.mesh_bounds,
         plan_frustum=intersect_mxu.resolve_plan_frustum(
             cfg.mxu_plan, sort_rays

@@ -1943,6 +1943,7 @@ def _run(
     plan_impl: str = "xla",
     planned_epilogue: str = "lanebest",
     mono: bool = False,
+    sort_key: "jnp.ndarray | None" = None,  # precomputed coherence key [n]
 ):
     n = ox.shape[0]
     n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -1990,7 +1991,16 @@ def _run(
         # permutation: the per-ray result is independent of block grouping
         # (tile visit order and in-tile tie-breaks are ray-local), so the
         # unsorted scatter-back below is bit-identical to sort off.
-        if sort_mode == "signature":
+        if sort_key is not None:
+            # Precomputed key (the fused shade kernel's in-kernel emission,
+            # == the XLA signature key exactly): the pixel-order bounce
+            # hands it in so the whole key build is skipped.  Padding rays
+            # are dead (features zeroed) -- the dead sentinel keeps them
+            # packed at the back like every other dead ray.
+            key = jnp.pad(
+                sort_key, (0, n_pad - n), constant_values=(1 << 30) + 2
+            )
+        elif sort_mode == "signature":
             key = _signature_keys(
                 tile_aabb, osx, osy, osz, dxp, dyp, dzp, one, tlim[:, 0]
             )
@@ -2445,6 +2455,7 @@ def mesh_intersect_mxu(
     plan_impl: str = None,  # None = env PTT_PLAN_IMPL
     planned_epilogue: str = None,  # None = env PTT_PLANNED_EPILOGUE
     mono: bool = False,
+    sort_key: jnp.ndarray = None,  # precomputed coherence key (sort_rays)
 ) -> MeshHit:
     """Closest hit over the mesh.  The returned (u, v) are recomputed from
     the winner's geometry (attrs rows) with the standard Moller-Trumbore
@@ -2499,6 +2510,7 @@ def mesh_intersect_mxu(
             else os.environ.get("PTT_PLANNED_EPILOGUE", "lanebest")
         ),
         mono=mono,
+        sort_key=sort_key,
     )
     # Pin the winner values at the traversal boundary: downstream shade
     # math must not re-fuse/contract differently depending on which

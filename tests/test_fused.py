@@ -352,3 +352,34 @@ def test_render_tex_prefix_tiers_matches_default(repo_root):
         b.step()
     np.testing.assert_array_equal(a.image(), b.image())
     np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+
+
+def test_render_pixel_state_order_matches_sorted(repo_root):
+    """mesh_state_order='pixel' (state stays in pixel order; the
+    intersector sorts only its ray-feature rows by the carried key and
+    scatters results back) must render bit-identically to the persistent
+    sorted state -- permutation invisibility at the integrator level.
+    Covers the carry path (in-kernel key emission feeds the intersector's
+    internal argsort) across multiple steps and a tiered sorted baseline."""
+    import dataclasses
+
+    mesh = set_resolution(
+        load_scene(str(repo_root / "scenes" / "cornell_mesh_5k.json")), 16, 16
+    )
+    mesh.state.trace_depth = 3
+    base = RenderConfig(
+        mesh_intersector="mxu", fused_bounce="on", ray_sorting="on"
+    )
+    a = Renderer(mesh, base)
+    b = Renderer(mesh, dataclasses.replace(base, mesh_state_order="pixel"))
+    c = Renderer(
+        mesh,
+        dataclasses.replace(base, bounce_prefix_tiers=(4, 2)),
+    )
+    for _ in range(2):
+        a.step()
+        b.step()
+        c.step()
+    np.testing.assert_array_equal(a.image(), b.image())
+    np.testing.assert_array_equal(a._alive_counts, b._alive_counts)
+    np.testing.assert_array_equal(a.image(), c.image())
