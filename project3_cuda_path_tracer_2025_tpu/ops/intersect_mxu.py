@@ -67,6 +67,26 @@ NUM_F = 16  # padded ray-feature dim (10 used)
 CHUNK_TRIS = int(os.environ.get("PTT_CHUNK_TRIS", str(32 * 1024)))
 assert CHUNK_TRIS % GROUP_TRIS == 0 or CHUNK_TRIS < GROUP_TRIS
 
+# Super-tile streamed walk (see _streamed_super_kernel): group SUPER_TILES
+# contiguous feature tiles per plan row / DMA / early-exit quantum, with a
+# static inner unroll over the member tiles.  Attacks the 500k-class
+# linear scaling: plan prepass and SMEM rows shrink by the group factor
+# and per-visit walk machinery amortizes over 8 tiles, while the per-tile
+# member windows keep the candidate contract exact.  "auto" engages it
+# for streamed meshes beyond the binned band (> ~320k padded tris).
+SUPER_TILES = int(os.environ.get("PTT_SUPER_TILES", "8"))
+STREAM_SUPER_MIN = int(os.environ.get("PTT_STREAM_SUPER_MIN", str(320 * 1024)))
+
+
+def stream_super_enabled(padded_tris: int) -> bool:
+    mode = os.environ.get("PTT_STREAM_SUPER", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return padded_tris > STREAM_SUPER_MIN
+
+
 # Plan-free static-unroll traversal band (see _mono_kernel): sweeping all
 # live-block tiles beats walking a plan while live_blocks * Ct stays close
 # to the plan's candidate count (measured 1.47x at 5k mid-bounce, where
@@ -163,6 +183,13 @@ def build_mxu_tables(
 ) -> MXUMeshTables:
     t = pos.shape[0]
     tp = ((t + GROUP_TRIS - 1) // GROUP_TRIS) * GROUP_TRIS
+    if tp > CHUNK_TRIS:
+        # Meshes beyond the VMEM-resident band may run the SUPER-tile
+        # streamed walk, whose per-visit DMA moves SUPER_TILES contiguous
+        # tiles -- pad the table to a super multiple so the last transfer
+        # stays in bounds (never-hit padding tiles; <= 8k fake tris).
+        span = SUPER_TILES * TRI_TILE
+        tp = ((tp + span - 1) // span) * span
     center = pos.reshape(-1, 3).mean(axis=0).astype(np.float32)
 
     v0 = pos[:, 0].astype(np.float64) - center
@@ -1546,6 +1573,161 @@ def _streamed_kernel(
         out_tri_ref[:] = init_tri
 
 
+def _streamed_super_kernel(
+    baby_eps: float,
+    cs: int,  # super-tile count
+    ct: int,  # fine-tile count
+    # scalar prefetch (SMEM)
+    cnt_ref,  # [NB] i32 candidate SUPER count per block
+    # tensor refs
+    rayf_ref,  # [RAY_TILE, NUM_F] VMEM
+    tlim_ref,  # [RAY_TILE, 1] VMEM
+    aabb_ref,  # [Ct, 8] VMEM fine-tile bounds (per-ray member windows)
+    saabb_ref,  # [Cs, 8] VMEM super-tile bounds (visit gate)
+    feat_hbm,  # [NUM_F, 4*Tp] HBM (ANY)
+    ids_hbm,  # [NB, 8, 128] i32 HBM: SUPER ids, front-to-back
+    tlo_hbm,  # [NB, 8, 128] f32 HBM: super-entry lower bounds, ascending
+    out_t_ref,
+    out_tri_ref,
+    # scratch
+    buf,  # VMEM (2, NUM_F, SUPER_TILES*4*TRI_TILE) double-buffered supers
+    ids_s,  # SMEM (8, 128)
+    tlo_s,  # SMEM (8, 128)
+    feat_sem,  # DMA (2,)
+    plan_sem,  # DMA (2,)
+):
+    """Streamed walk at SUPER-tile granularity: one plan row, one DMA, one
+    early-exit / improvability decision per SUPER_TILES contiguous tiles,
+    with a STATIC inner unroll of the shared per-tile epilogue.
+
+    Why (VERDICT round-4 #4, the flat 500k): at 489 tiles the per-visit
+    walk machinery (fori step, SMEM reads, DMA bookkeeping, conds -- the
+    same ~2 us/visit the round-5 epilogue profile isolated) and the
+    O(N*Ct) plan prepass both scale with the tile count; grouping by
+    SUPER_TILES divides both by 8 while the straight-line inner unroll
+    pipelines like the mono kernel.  Supers are contiguous tile ranges in
+    BVH-leaf order (spatially tight), and feature columns stay contiguous
+    so a super is ONE [NUM_F, S*4*T] transfer.
+
+    Exactness: the super plan is a candidate SUPERSET (super AABB contains
+    each member tile's AABB, so tile-membership implies super-membership;
+    k=2 plan widening as for every XLA cull), visits stay front-to-back by
+    a true lower bound (super tlo <= member tile tlo <= any hit t), and
+    every tile evaluation runs the SAME per-ray member window + _mt_hit +
+    winner rule as every other kernel -- bit-identical by the candidate
+    contract."""
+    b = pl.program_id(0)
+    s = SUPER_TILES
+    rayf = rayf_ref[:]
+    o = rayf[:, 6:9]
+    dvec = rayf[:, 0:3]
+    inv = 1.0 / jnp.where(dvec == 0.0, 1e-20, dvec)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
+    cnt = cnt_ref[b]
+    init_t = tlim_ref[:]
+    init_tri = jnp.full((RAY_TILE, 1), -1, jnp.int32)
+    live_col = rayf[:, 9:10] > 0.0
+    eps_succ = float(np.nextafter(np.float32(baby_eps), np.float32(np.inf)))
+
+    def live_max(best_t):
+        return jnp.max(jnp.where(live_col, best_t, 0.0))
+
+    @pl.when(cnt > 0)
+    def _():
+        ids_dma = pltpu.make_async_copy(ids_hbm.at[b], ids_s, plan_sem.at[0])
+        tlo_dma = pltpu.make_async_copy(tlo_hbm.at[b], tlo_s, plan_sem.at[1])
+        ids_dma.start()
+        tlo_dma.start()
+        ids_dma.wait()
+        tlo_dma.wait()
+
+        def feat_dma(slot, v):
+            sid = ids_s[v // 128, v % 128]
+            cols = pl.ds(
+                pl.multiple_of(sid * (s * 4 * TRI_TILE), s * 4 * TRI_TILE),
+                s * 4 * TRI_TILE,
+            )
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, cols], buf.at[slot], feat_sem.at[slot]
+            )
+
+        feat_dma(0, 0).start()
+
+        def cond(carry):
+            v, _, _, _, done = carry
+            return (v < cnt) & jnp.logical_not(done)
+
+        def body(carry):
+            v, best_t, best_tri, mb, _ = carry
+            # STRICT >: super tlo is a true lower bound on any member
+            # tile's hits, so no better hits and no unresolved exact ties
+            # remain past this point (see _planned_kernel).
+            stop = tlo_s[v // 128, v % 128] > mb
+            slot = jax.lax.rem(v, 2)
+
+            @pl.when(jnp.logical_not(stop) & (v + 1 < cnt))
+            def _():
+                feat_dma(jax.lax.rem(v + 1, 2), v + 1).start()
+
+            feat_dma(slot, v).wait()
+
+            def run(args):
+                best_t, best_tri = args
+                sid = ids_s[v // 128, v % 128]
+                srow = saabb_ref[pl.ds(sid, 1), :]
+                smember, s_tlo, _ = _member_slab(srow, o, inv, tlim_ref[:])
+                # ONE improvability gate per super (amortized over the s
+                # static tile evaluations -- the round-5 profile showed
+                # per-TILE conds cost more than they skip).
+                improvable = jnp.any(
+                    live_col & smember & (s_tlo <= best_t)
+                )
+
+                def super_epilogue(args):
+                    best_t, best_tri = args
+                    for k in range(s):
+                        tile_id = sid * s + k
+                        row = aabb_ref[pl.ds(tile_id, 1), :]
+                        member, f_tlo, f_thi = _member_slab(
+                            row, o, inv, tlim_ref[:]
+                        )
+                        t_lo = jnp.where(
+                            member, jnp.maximum(f_tlo, eps_succ), jnp.inf
+                        )
+                        t_hi = jnp.where(member, f_thi, -jnp.inf)
+                        best_t, best_tri = _walk_quad_epilogue(
+                            rayf,
+                            buf[slot][
+                                :, k * 4 * TRI_TILE : (k + 1) * 4 * TRI_TILE
+                            ],
+                            baby_eps, lane, tile_id, t_lo, t_hi,
+                            best_t, best_tri,
+                        )
+                    return best_t, best_tri
+
+                return jax.lax.cond(
+                    improvable, super_epilogue, lambda a: a,
+                    (best_t, best_tri),
+                )
+
+            best_t, best_tri = jax.lax.cond(
+                stop, lambda a: a, run, (best_t, best_tri)
+            )
+            return v + 1, best_t, best_tri, live_max(best_t), stop
+
+        _, best_t, best_tri, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), init_t, init_tri, live_max(init_t), False),
+        )
+        out_t_ref[:] = best_t
+        out_tri_ref[:] = best_tri
+
+    @pl.when(cnt <= 0)
+    def _():
+        out_t_ref[:] = init_t
+        out_tri_ref[:] = init_tri
+
+
 # --- binned (tile-major, ray-packet) traversal ---------------------------
 #
 # The block-union wall, quantified (PARITY.md "ray-binning"): a 256-ray
@@ -2131,6 +2313,84 @@ def _run(
             interpret=interpret,
         )(cnt, rayf_c, tlim_c, aabb_c, feat_c, ids2, tlo2)
 
+    def run_streamed_super(rayf_c, feat_c, aabb_c, tlim_c):
+        """Super-tile streamed walk (see _streamed_super_kernel): plan,
+        DMA, and early exit at SUPER_TILES-tile granularity; per-tile
+        member windows + shared epilogue keep the contract exact."""
+        s = SUPER_TILES
+        ctf = aabb_c.shape[0]
+        cs = (ctf + s - 1) // s
+        if ctf % s:
+            # tests / odd tables: pad fine rows with never-hit boxes and
+            # feature columns with zeros (production big-mesh tables are
+            # already super-padded at build)
+            padr = cs * s - ctf
+            never = jnp.concatenate(
+                [jnp.full((padr, 3), 1e30), jnp.full((padr, 5), -1e30)],
+                axis=1,
+            ).astype(jnp.float32)
+            aabb_c = jnp.concatenate([aabb_c, never], axis=0)
+            feat_c = jnp.pad(
+                feat_c, ((0, 0), (0, padr * 4 * TRI_TILE))
+            )
+        grp = aabb_c.reshape(cs, s, 8)
+        saabb = jnp.concatenate(
+            [
+                jnp.min(grp[:, :, 0:3], axis=1),
+                jnp.max(grp[:, :, 3:6], axis=1),
+                jnp.zeros((cs, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+        nb = n_pad // RAY_TILE
+        ids, tlo_s, cnt = _plan_with_prefix(
+            saabb, rayf_c, tlim_c, frustum=plan_frustum, impl=plan_impl,
+            interpret=interpret,
+        )
+        cap = 8 * 128
+        ids2 = jnp.pad(ids.reshape(nb, cs), ((0, 0), (0, cap - cs)))
+        ids2 = ids2.reshape(nb, 8, 128)
+        tlo2 = jnp.pad(
+            tlo_s.reshape(nb, cs), ((0, 0), (0, cap - cs)),
+            constant_values=jnp.inf,
+        ).reshape(nb, 8, 128)
+        kern = functools.partial(
+            _streamed_super_kernel, baby_eps, cs, cs * s
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((RAY_TILE, NUM_F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((cs * s, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((cs, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # features (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # plan ids (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # plan tlo (HBM)
+            ],
+            out_specs=(
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, NUM_F, SUPER_TILES * 4 * TRI_TILE), jnp.float32),
+                pltpu.SMEM((8, 128), jnp.int32),
+                pltpu.SMEM((8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(cnt, rayf_c, tlim_c, aabb_c, saabb, feat_c, ids2, tlo2)
+
     def run_mono(rayf_c, feat_c, aabb_c, tlim_c):
         """Plan-free static-unroll traversal (see _mono_kernel): no scalar
         prefetch, no plan prepass -- the whole XLA plan stage disappears
@@ -2275,6 +2535,8 @@ def _run(
         out_t, out_tri = chain(None)
     elif use_mono:
         out_t, out_tri = run_mono(rayf, features, tile_aabb, tlim)
+    elif streamed and stream_super_enabled(padded_tris):
+        out_t, out_tri = run_streamed_super(rayf, features, tile_aabb, tlim)
     elif streamed:
         out_t, out_tri = run_streamed(rayf, features, tile_aabb, tlim)
     elif padded_tris <= chunk_tris:

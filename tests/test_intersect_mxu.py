@@ -651,3 +651,41 @@ def test_mxu_mono_multitile_bitexact():
         ro, rd, active, lim, sort_rays=False, mono=True, **kw,
     )
     np.testing.assert_array_equal(np.asarray(fb.tri), np.asarray(ref.tri))
+
+
+def test_mxu_streamed_super_bitexact(monkeypatch):
+    """The SUPER-tile streamed walk (one plan row / DMA / early-exit
+    decision per SUPER_TILES tiles, static inner unroll --
+    _streamed_super_kernel) must match the planned walk bit-for-bit: the
+    super plan is a candidate superset with true lower-bound ordering and
+    every tile runs the shared member-window epilogue.  Odd tile count
+    exercises the wrapper's never-hit padding."""
+    import project3_cuda_path_tracer_2025_tpu.ops.intersect_mxu as mxu
+
+    monkeypatch.setenv("PTT_STREAM_SUPER", "1")
+    rng = np.random.default_rng(52)
+    scene = _random_mesh_scene(rng, n_tris=2300)  # 3 tiles -> pads to 8
+    dev, static = build_device_scene(scene)
+
+    n = 700
+    ro, rd = _rays(rng, n)
+    active = jnp.asarray(rng.random(n) > 0.3)
+    lim = jnp.asarray(
+        np.where(rng.random(n) > 0.5, 3.4e38, 2.0), jnp.float32
+    )
+
+    kw = dict(baby_eps=CFG.baby_epsilon, interpret=True,
+              mesh_bounds=static.mesh_bounds)
+    for sort in (False, True):
+        ref = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=True,
+            planned_epilogue="running", **kw,
+        )
+        sup = mesh_intersect_mxu(
+            dev.mxu_mesh, static.num_triangles, static.mxu_padded_tris,
+            ro, rd, active, lim, sort_rays=sort, planned=True,
+            streamed=True, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(sup.tri), np.asarray(ref.tri))
+        np.testing.assert_array_equal(np.asarray(sup.t), np.asarray(ref.t))
