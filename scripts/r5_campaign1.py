@@ -35,6 +35,28 @@ def main():
 
     runs = [
         # (label, scene, cfg_kw, env)
+        # --- round-5 kernel/bounce decisions, 5k class -------------------
+        ("5k auto(mono)", "scenes/cornell_mesh_5k.json", {}, {}),
+        ("5k planned control", "scenes/cornell_mesh_5k.json",
+         {"mxu_traversal": "planned"}, {}),
+        ("5k mono+pixel-order", "scenes/cornell_mesh_5k.json",
+         {"mesh_state_order": "pixel"}, {}),
+        ("5k planned+pixel-order", "scenes/cornell_mesh_5k.json",
+         {"mxu_traversal": "planned", "mesh_state_order": "pixel"}, {}),
+        ("20k default", "scenes/cornell_mesh_20k.json", {}, {}),
+        ("20k pixel-order", "scenes/cornell_mesh_20k.json",
+         {"mesh_state_order": "pixel"}, {}),
+        ("20k mono-forced", "scenes/cornell_mesh_20k.json",
+         {"mxu_traversal": "mono"}, {"PTT_MONO_MAX_TILES": "20"}),
+        ("textured default", "scenes/cornell_mesh_textured.json", {}, {}),
+        # --- 500k: super-tile streamed walk A/B --------------------------
+        ("500k super(auto-on)", "scenes/cornell_mesh_500k.json", {}, {}),
+        ("500k streamed control", "scenes/cornell_mesh_500k.json",
+         {}, {"PTT_STREAM_SUPER": "0"}),
+        ("500k super+pallas-plan", "scenes/cornell_mesh_500k.json",
+         {}, {"PTT_PLAN_IMPL": "pallas"}),
+        ("500k super+pixel-order", "scenes/cornell_mesh_500k.json",
+         {"mesh_state_order": "pixel"}, {}),
         ("200k auto(binned) xla-plan", "scenes/cornell_mesh_200k.json", {}, {}),
         ("200k streamed xla-plan", "scenes/cornell_mesh_200k.json",
          {"mxu_traversal": "streamed"}, {}),
@@ -42,9 +64,8 @@ def main():
          {}, {"PTT_PLAN_IMPL": "pallas"}),
         ("200k streamed pallas-plan", "scenes/cornell_mesh_200k.json",
          {"mxu_traversal": "streamed"}, {"PTT_PLAN_IMPL": "pallas"}),
-        ("500k streamed xla-plan", "scenes/cornell_mesh_500k.json", {}, {}),
-        ("500k streamed pallas-plan", "scenes/cornell_mesh_500k.json",
-         {}, {"PTT_PLAN_IMPL": "pallas"}),
+        ("500k nosuper pallas-plan", "scenes/cornell_mesh_500k.json",
+         {}, {"PTT_STREAM_SUPER": "0", "PTT_PLAN_IMPL": "pallas"}),
         ("80k streamed xla-plan", "scenes/cornell_mesh_80k.json", {}, {}),
         ("80k streamed pallas-plan", "scenes/cornell_mesh_80k.json",
          {}, {"PTT_PLAN_IMPL": "pallas"}),
