@@ -322,6 +322,29 @@ def main():
 
     timed("WHOLE fused bounce (tiers 4,2)", bounce_tiered, k=4)
 
+    def bounce_pixel_order(x):
+        return fused.fused_mesh_bounce(
+            r.dev, r.static,
+            cfg.replace(ray_sorting="on", mesh_state_order="pixel"),
+            with_x(x), su_key=skey, interpret=interpret, resort=True,
+            rng_n=n,
+        ).origin.x
+
+    timed("WHOLE fused bounce (pixel-order)", bounce_pixel_order, k=4)
+
+    def bounce_planned_tiered(x):
+        return fused.fused_mesh_bounce(
+            r.dev, r.static,
+            cfg.replace(
+                ray_sorting="on", bounce_prefix_tiers=(4, 2),
+                mxu_traversal="planned",
+            ),
+            with_x(x), su_key=skey, interpret=interpret, resort=True,
+            rng_n=n,
+        ).origin.x
+
+    timed("WHOLE bounce (planned, tiers)", bounce_planned_tiered, k=4)
+
 
 if __name__ == "__main__":
     main()
