@@ -161,7 +161,11 @@ class RenderConfig:
     #     The state permute disappears; bounce prefix tiers cannot engage
     #     (alive rays are scattered in pixel order).
     # Bit-identical either way (permutation-invisibility is the tested
-    # invariant: sorted == unsorted images bit-exact).  "auto" = sorted.
+    # invariant: sorted == unsorted images bit-exact).  "auto" = sorted:
+    # the round-5 pinned A/B measured pixel order a ~1.5-1.8x frame LOSS
+    # (5k 236.8 vs 133.6, 20k 367.6 vs 262.5 ms) -- the forfeited prefix
+    # tiers plus the in-intersector sort+scatter far outweigh the
+    # ~3.4 ms/bounce state permute they replace.  Kept as the A/B toggle.
     mesh_state_order: str = "auto"
     # Live-prefix tiers for the binned traversal, as divisors of the ray
     # count (ascending coverage): the smallest prefix holding every live

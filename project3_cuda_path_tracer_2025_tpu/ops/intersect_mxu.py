@@ -69,17 +69,23 @@ assert CHUNK_TRIS % GROUP_TRIS == 0 or CHUNK_TRIS < GROUP_TRIS
 
 # Super-tile streamed walk (see _streamed_super_kernel): group SUPER_TILES
 # contiguous feature tiles per plan row / DMA / early-exit quantum, with a
-# static inner unroll over the member tiles.  Attacks the 500k-class
-# linear scaling: plan prepass and SMEM rows shrink by the group factor
-# and per-visit walk machinery amortizes over 8 tiles, while the per-tile
-# member windows keep the candidate contract exact.  "auto" engages it
-# for streamed meshes beyond the binned band (> ~320k padded tris).
+# static inner unroll over the member tiles.  The hypothesis was that the
+# 500k-class linear scaling is walk-machinery-bound (plan rows, DMA
+# bookkeeping, exit checks amortize over 8 tiles); the round-5 pinned A/B
+# measured a 5% LOSS instead (500k: super 2536.8 vs streamed control
+# 2409.2 ms same-session) -- the 8-tile quantum makes every visited super
+# evaluate its full member unroll, and that extra epilogue work exceeds
+# the amortized machinery.  Kept as an opt-in (PTT_STREAM_SUPER=1) with
+# its exactness contract and tests; default OFF.
 SUPER_TILES = int(os.environ.get("PTT_SUPER_TILES", "8"))
 STREAM_SUPER_MIN = int(os.environ.get("PTT_STREAM_SUPER_MIN", str(320 * 1024)))
 
 
 def stream_super_enabled(padded_tris: int) -> bool:
-    mode = os.environ.get("PTT_STREAM_SUPER", "auto")
+    # Default "0": the round-5 pinned A/B measured the super walk a net
+    # loss (comment above); "auto" (> STREAM_SUPER_MIN) and "1" (force)
+    # remain for A/Bs and future backends.
+    mode = os.environ.get("PTT_STREAM_SUPER", "0")
     if mode == "0":
         return False
     if mode == "1":
@@ -91,7 +97,10 @@ def stream_super_enabled(padded_tris: int) -> bool:
 # live-block tiles beats walking a plan while live_blocks * Ct stays close
 # to the plan's candidate count (measured 1.47x at 5k mid-bounce, where
 # mono still wins) AND the plan prepass cost is nonzero.  Beyond ~8 tiles
-# the sweep multiple grows and the planned walk takes over.
+# the sweep multiple grows and the planned walk takes over.  Round-5
+# frame A/Bs: mono 133.6 vs planned 142.0 ms at 5k (5 tiles); forcing 20
+# tiles OOMs VMEM (the static unroll keeps every tile's quad live on the
+# Mosaic stack), so the band cannot be pushed past ~8 as-built.
 MONO_MAX_TILES = int(os.environ.get("PTT_MONO_MAX_TILES", "8"))
 
 # --- the candidate-set contract (why every path is bit-identical) --------
@@ -183,11 +192,13 @@ def build_mxu_tables(
 ) -> MXUMeshTables:
     t = pos.shape[0]
     tp = ((t + GROUP_TRIS - 1) // GROUP_TRIS) * GROUP_TRIS
-    if tp > CHUNK_TRIS:
-        # Meshes beyond the VMEM-resident band may run the SUPER-tile
-        # streamed walk, whose per-visit DMA moves SUPER_TILES contiguous
-        # tiles -- pad the table to a super multiple so the last transfer
-        # stays in bounds (never-hit padding tiles; <= 8k fake tris).
+    if tp > CHUNK_TRIS and stream_super_enabled(tp):
+        # The SUPER-tile streamed walk's per-visit DMA moves SUPER_TILES
+        # contiguous tiles -- pad the table to a super multiple so the
+        # last transfer stays in bounds (never-hit padding tiles; <= 8k
+        # fake tris).  Only when the super walk is actually enabled: the
+        # pad changes every downstream plan/bin shape for ALL >CHUNK
+        # meshes, and the non-super paths must keep their round-4 shapes.
         span = SUPER_TILES * TRI_TILE
         tp = ((tp + span - 1) // span) * span
     center = pos.reshape(-1, 3).mean(axis=0).astype(np.float32)
