@@ -1146,6 +1146,44 @@ def _mt_hit(quad, t_lo, t_hi, baby_eps):
     return hit, tt
 
 
+def _mt_hit_legacy(quad, t_lo, t_hi, baby_eps):
+    """The round-4 form of ``_mt_hit`` (sign-flip multiplies instead of
+    bitcast/XOR), PROVABLY value-identical to it (see _mt_hit's rewrite
+    proofs -- they are equalities, so they read in both directions).
+
+    The HEAVY paths (streamed / binned walks) use this form: the round-5
+    pinned campaign measured them 1.3-2.7x slower than the stable
+    round-3/4 numbers (200k binned 527.7 -> 1410.5, 200k streamed
+    917 -> 1180.6, 500k streamed 1669.9 -> 2409.2 ms; round-4-code
+    same-session controls reproduce the old numbers exactly, so the
+    regression is code-side) while the light paths improved -- the
+    trimmed form's int bitcasts are implicated in those kernels'
+    lowering.  mono / lanebest / sweep keep the trimmed ``_mt_hit``
+    (measured wins: 5k 143.6 -> 133.6, 20k 287 -> 262.5).  Mixing forms
+    is safe for the bit-identity contract precisely because the forms
+    are value-identical."""
+    det = quad[:, 0 * TRI_TILE : 1 * TRI_TILE]
+    u_num = quad[:, 1 * TRI_TILE : 2 * TRI_TILE]
+    v_num = quad[:, 2 * TRI_TILE : 3 * TRI_TILE]
+    t_num = quad[:, 3 * TRI_TILE : 4 * TRI_TILE]
+    det_ok = jnp.abs(det) >= baby_eps
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    tt = t_num * inv_det
+    s = jnp.where(det < 0.0, -1.0, 1.0)
+    us = u_num * s
+    vs = v_num * s
+    da = det * s
+    hit = (
+        det_ok
+        & (us >= 0.0)
+        & (vs >= 0.0)
+        & (us + vs <= da)
+        & (tt >= t_lo)
+        & (tt <= t_hi)
+    )
+    return hit, tt
+
+
 def _walk_quad_epilogue(
     rayf, feat_block, baby_eps, lane, tile_id, t_lo, t_hi, best_t, best_tri
 ):
@@ -1154,9 +1192,17 @@ def _walk_quad_epilogue(
     fold in winners under the strict-improvement / lowest-triangle-id
     rule.  One definition keeps the cross-traversal bit-identity contract
     in one place (the sweep kernel's epilogue is deliberately separate:
-    its ascending visit order lets it skip the tie bookkeeping)."""
+    its ascending visit order lets it skip the tie bookkeeping).
+
+    Acceptance uses ``_mt_hit_legacy`` -- the round-4 expression graph --
+    NOT the trimmed ``_mt_hit``: the round-5 heavy-band regression
+    (200k streamed 917 -> 1180, 500k 1672 -> 2409 ms, same-session
+    round-4-code controls) implicates the round-5 heavy-path changes, and
+    the two forms are PROVABLY value-identical (see _mt_hit), so the
+    measured-safe graph ships on the heavy paths while mono/lanebest keep
+    their measured round-5 wins."""
     quad = jnp.dot(rayf, feat_block, preferred_element_type=jnp.float32)
-    hit, tt = _mt_hit(quad, t_lo, t_hi, baby_eps)
+    hit, tt = _mt_hit_legacy(quad, t_lo, t_hi, baby_eps)
     ttm = jnp.where(hit, tt, jnp.inf)
     row_min = jnp.min(ttm, axis=1, keepdims=True)
     better = row_min < best_t
@@ -1863,7 +1909,8 @@ def _binned_kernel(
         t_lo = jnp.where(member, jnp.maximum(s_tlo, eps_succ), jnp.inf)
         t_hi = jnp.where(member, s_thi, -jnp.inf)
         quad = jnp.dot(pairf, buf[slot], preferred_element_type=jnp.float32)
-        hit, tt = _mt_hit(quad, t_lo, t_hi, baby_eps)
+        # Heavy path: round-4 expression graph (see _mt_hit_legacy).
+        hit, tt = _mt_hit_legacy(quad, t_lo, t_hi, baby_eps)
         ttm = jnp.where(hit, tt, jnp.inf)
         row_min = jnp.min(ttm, axis=1, keepdims=True)
         lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
